@@ -1,0 +1,85 @@
+"""Zipf jump sampling for PG-SGD: zeta tables + closed-form inverse CDF.
+
+The reference precomputes zeta(n, theta) partial sums exactly for spaces
+1..space_max and quantized every `space_quantization_step` beyond
+(reference: src/algorithms/path_sgd.cpp:124-138, src/cuda/layout.cu:412-428),
+then samples by the dirtyzipf closed-form inversion, which the CUDA kernel
+implements directly (reference: src/cuda/layout.cu:89-113).  We keep that
+exact scheme: tiny replicated zeta table, branchless vectorized inversion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def zeta_table(space: int, space_max: int, quant_step: int, theta: float) -> np.ndarray:
+    """Quantized zeta partial-sum table, layout identical to the reference
+    (reference: path_sgd.cpp:128-138): index i (1..space_max) holds
+    zeta(i); index space_max+1+k holds zeta(space_max + k*quant_step).
+
+    Computed in f64 on host with chunked cumsum (the reference's
+    fast_precise_pow loop, vectorized).
+    """
+    n_entries = (
+        space
+        if space <= space_max
+        else space_max + (space - space_max) // quant_step + 1
+    ) + 1
+    zetas = np.zeros(n_entries, dtype=np.float64)
+    running = 0.0
+    chunk = 1 << 22
+    for lo in range(1, space + 1, chunk):
+        hi = min(space + 1, lo + chunk)
+        i = np.arange(lo, hi, dtype=np.float64)
+        z = running + np.cumsum(np.power(1.0 / i, theta))
+        running = z[-1]
+        # exact region
+        lo_exact = lo
+        hi_exact = min(hi, space_max + 1)
+        if lo_exact < hi_exact:
+            zetas[lo_exact:hi_exact] = z[: hi_exact - lo_exact]
+        # quantized region: i >= space_max and (i - space_max) % step == 0
+        idx = np.arange(lo, hi)
+        q = (idx >= space_max) & ((idx - space_max) % quant_step == 0)
+        if q.any():
+            zetas[space_max + 1 + (idx[q] - space_max) // quant_step] = z[q]
+    return zetas
+
+
+def zeta_index(jump_space, space_max: int, quant_step: int):
+    """Map a jump space to its zeta-table index (reference:
+    path_sgd.cpp:249-253): exact below space_max, quantized above."""
+    return jnp.where(
+        jump_space > space_max,
+        space_max + 1 + (jump_space - space_max) // quant_step,
+        jump_space,
+    )
+
+
+def zipf_sample(u, n, theta: float, zeta2, zetan):
+    """Vectorized closed-form Zipf(n, theta) sampler on (0,1] uniforms,
+    the cuda_rnd_zipf inversion (reference: src/cuda/layout.cu:89-113).
+
+    Returns integers in [1, n]; callers guarantee n >= 1.
+    """
+    n = n.astype(jnp.float32)
+    alpha = 1.0 / (1.0 - theta)
+    denominator = 1.0 - zeta2 / zetan
+    denominator = jnp.where(denominator == 0.0, 1e-9, denominator)
+    eta = (1.0 - jnp.power(2.0 / n, 1.0 - theta)) / denominator
+    uz = u * zetan
+    val = jnp.where(
+        uz < 1.0,
+        1.0,
+        jnp.where(
+            uz < 1.0 + jnp.power(0.5, theta),
+            2.0,
+            1.0 + n * jnp.power(eta * u - eta + 1.0, alpha),
+        ),
+    )
+    val = jnp.floor(val).astype(jnp.int32)
+    return jnp.clip(val, 1, n.astype(jnp.int32))
