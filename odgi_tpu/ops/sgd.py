@@ -277,8 +277,15 @@ def _update_1d(X, key, data: SgdData, cfg: SgdConfig, eta, cooling: bool):
     mag = jnp.abs(dx)
     delta = mu * (mag - term_dist) / 2.0
     r_x = jnp.where(valid, delta / mag * dx, 0.0)
-    X = X.at[i].add(-r_x, mode="drop")
-    X = X.at[j].add(r_x, mode="drop")
+    # Merge conflicting updates by averaging: each pair update alone moves a
+    # node by its full requested displacement (the reference applies them
+    # sequentially / via racing atomicExch, layout.cu:184-187, so at most
+    # ~one full displacement lands per node per wavefront); summing them
+    # would overshoot and diverge, so we divide by the per-node hit count.
+    v = valid.astype(jnp.float32)
+    acc = jnp.zeros_like(X).at[i].add(-r_x).at[j].add(r_x)
+    cnt = jnp.zeros_like(X).at[i].add(v).at[j].add(v)
+    X = X + acc / jnp.maximum(cnt, 1.0)
     batch_max = jnp.max(jnp.where(valid, jnp.abs(delta), 0.0))
     return X, batch_max
 
@@ -384,8 +391,11 @@ def _update_2d(coords, key, data: SgdData, cfg: SgdConfig, eta, cooling: bool):
     delta = mu * (mag - term_dist) / 2.0
     r = jnp.where(valid, delta / mag, 0.0)
     upd = jnp.stack([r * dx, r * dy], axis=1)
-    coords = coords.at[ep_a].add(-upd, mode="drop")
-    coords = coords.at[ep_b].add(upd, mode="drop")
+    # Average conflicting endpoint updates (see _update_1d).
+    v = valid.astype(jnp.float32)
+    acc = jnp.zeros_like(coords).at[ep_a].add(-upd).at[ep_b].add(upd)
+    cnt = jnp.zeros(coords.shape[0], jnp.float32).at[ep_a].add(v).at[ep_b].add(v)
+    coords = coords + acc / jnp.maximum(cnt, 1.0)[:, None]
     batch_max = jnp.max(jnp.where(valid, jnp.abs(delta), 0.0))
     return coords, batch_max
 

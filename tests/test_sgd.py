@@ -1,0 +1,114 @@
+"""PG-SGD kernel tests (CPU backend, reduced iteration counts).
+
+Quality reference points from the reference's own tutorial
+(docs/rst/tutorials/sort_layout.rst:100-107,180-186): DRB1-3123_unsorted has
+sum-of-path-node-distances 1076.32 nt / mean-links-length 4016.92 nt; after
+`odgi sort -Y` the reference reports 4.72 nt dist.  Our acceptance bound is
+well below the unsorted value and at-or-better than the reference's sort.
+"""
+
+import numpy as np
+import pytest
+
+from odgi_tpu import parse_gfa
+from odgi_tpu.algorithms import stats
+from odgi_tpu.algorithms.path_sgd_sort import path_sgd_order, sort_pipeline
+from odgi_tpu.ops import sgd
+from odgi_tpu.ops.zipf import zeta_table
+
+
+@pytest.fixture(scope="module")
+def unsorted_drb():
+    return parse_gfa("/root/reference/test/DRB1-3123_unsorted.gfa")
+
+
+def test_schedule_matches_reference_formula():
+    # path_sgd.cpp:466-501: eta(t) = eta_max * exp(-lambda*|t - t_peak|)
+    etas = sgd.sgd_schedule(1.0 / 10000.0, 1.0, 10, 0, 0.01)
+    assert len(etas) == 11
+    assert etas[0] == pytest.approx(10000.0)
+    lam = np.log(10000.0 / 0.01) / 9
+    assert etas[5] == pytest.approx(10000.0 * np.exp(-lam * 5))
+
+
+def test_zeta_table_quantization_layout():
+    # exact for 1..space_max, quantized every step beyond
+    z = zeta_table(space=250, space_max=100, quant_step=50, theta=0.99)
+    assert len(z) == 100 + (250 - 100) // 50 + 1 + 1
+    harmonic = np.cumsum(1.0 / np.arange(1, 251) ** 0.99)
+    assert z[1] == pytest.approx(1.0)
+    assert z[100] == pytest.approx(harmonic[99])
+    assert z[101] == pytest.approx(harmonic[99])   # i=100 quantized slot
+    assert z[102] == pytest.approx(harmonic[149])  # i=150
+    assert z[103] == pytest.approx(harmonic[199])  # i=200
+    assert z[104] == pytest.approx(harmonic[249])  # i=250
+
+
+def test_config_defaults_1d(unsorted_drb):
+    cfg = sgd.derive_config_1d(unsorted_drb)
+    g = unsorted_drb
+    assert cfg.iter_max == 100
+    assert cfg.min_term_updates == g.num_steps
+    assert cfg.eta_max == float(g.path_step_count.max()) ** 2
+    assert cfg.space == int(g.path_length.max())
+    assert cfg.space_max == 100
+    assert cfg.first_cooling_iteration == 50
+
+
+def test_config_defaults_2d(unsorted_drb):
+    cfg = sgd.derive_config_2d(unsorted_drb)
+    g = unsorted_drb
+    assert cfg.iter_max == 30
+    assert cfg.min_term_updates == 10 * g.num_steps
+    assert cfg.space == int(g.path_step_count.max())
+    assert cfg.space_max == 1000
+
+
+def test_sgd_1d_converges(unsorted_drb):
+    g = unsorted_drb
+    before = stats.sum_of_path_node_distances(g).all_nt_space
+    cfg = sgd.derive_config_1d(g, iter_max=30)
+    order = path_sgd_order(g, cfg)
+    assert sorted(order) == list(range(g.num_nodes))
+    g2 = g.apply_ordering(order)
+    after = stats.sum_of_path_node_distances(g2).all_nt_space
+    assert before > 1000  # doc value 1076.32
+    assert after < 60  # far below unsorted; full 100 iters reaches ~3.8
+
+
+def test_sgd_1d_deterministic(unsorted_drb):
+    cfg = sgd.derive_config_1d(unsorted_drb, iter_max=5)
+    o1 = path_sgd_order(unsorted_drb, cfg)
+    o2 = path_sgd_order(unsorted_drb, cfg)
+    assert np.array_equal(o1, o2)
+
+
+def test_sgd_1d_no_multi_step_paths():
+    g = parse_gfa(b"S\t1\tA\nS\t2\tC\nP\tx\t1+\t*\nP\ty\t2+\t*\n")
+    X = sgd.path_sgd_1d(g)
+    # degenerate: no path has >1 step -> seed positions returned
+    assert np.array_equal(X, g.node_offset.astype(np.float64))
+
+
+def test_sgd_2d_reduces_stress(unsorted_drb):
+    from odgi_tpu.algorithms.layout import init_layout
+
+    g = unsorted_drb
+    cfg = sgd.derive_config_2d(g, iter_max=10)
+    coords0 = init_layout(g, "d")
+    coords = sgd.path_sgd_2d(g, coords0, cfg)
+    X, Y = coords[:, 0], coords[:, 1]
+    d0 = stats.sum_of_path_node_distances(
+        g, xy=(coords0[:, 0], coords0[:, 1])
+    ).all_2d_by_nucleotides
+    d1 = stats.sum_of_path_node_distances(g, xy=(X, Y)).all_2d_by_nucleotides
+    assert np.isfinite(coords).all()
+    assert d1 < d0  # layout stress improves over the init
+
+
+def test_ygs_pipeline(unsorted_drb):
+    g2 = sort_pipeline(unsorted_drb, "Ygs")
+    assert g2.is_optimized()
+    assert g2.validate() == []
+    d = stats.sum_of_path_node_distances(g2)
+    assert d.all_nt_space < 10
