@@ -1,0 +1,294 @@
+"""odgi_tpu command-line interface.
+
+Mirrors the reference's subcommand layer (reference:
+src/subcommand/subcommand.hpp:72-167 registry + per-command main_<x>
+drivers) with argparse subparsers.  Graph inputs accept .gfa text or the
+native .otg container (sniffed by magic, like the reference's
+utils::handle_gfa_odgi_input, src/utils.cpp:103-120).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def load_any(path: str):
+    """Sniff .otg vs GFA and load (reference: src/utils.cpp:103-120)."""
+    from ..io.og import MAGIC, load_graph
+    from ..io.gfa import parse_gfa
+
+    if path == "-":
+        return parse_gfa(sys.stdin.buffer.read())
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head == MAGIC:
+        return load_graph(path)
+    return parse_gfa(path)
+
+
+def _out_graph(g, path: str):
+    from ..io.og import save_graph
+    from ..io.gfa import write_gfa
+
+    if path.endswith(".gfa"):
+        write_gfa(g, path)
+    else:
+        save_graph(g, path)
+
+
+def cmd_build(args):
+    g = load_any(args.gfa)
+    if args.optimize:
+        g = g.optimize()
+    if args.sort:
+        from ..algorithms.topological import topological_order
+
+        g = g.apply_ordering(topological_order(g))
+    _out_graph(g, args.out)
+    return 0
+
+
+def cmd_view(args):
+    from ..io.gfa import write_gfa
+
+    g = load_any(args.input)
+    write_gfa(g, sys.stdout)
+    return 0
+
+
+def cmd_validate(args):
+    g = load_any(args.input)
+    problems = g.validate()
+    for p in problems:
+        print(p, file=sys.stderr)
+    return 1 if problems else 0
+
+
+def cmd_stats(args):
+    from ..algorithms import stats
+    from ..algorithms.components import num_self_loops, weak_components
+    from ..algorithms.topological import head_nodes
+
+    g = load_any(args.input)
+    xy = None
+    if args.coords_in:
+        from ..io.lay import load_layout
+
+        coords = load_layout(args.coords_in)
+        xy = (coords[:, 0], coords[:, 1])
+    if args.summarize:
+        s = stats.summary(g)
+        print("#length\tnodes\tedges\tpaths\tsteps")
+        print(
+            f"{s['length']}\t{s['nodes']}\t{s['edges']}\t{s['paths']}\t{s['steps']}"
+        )
+    if args.weakly_connected_components:
+        comps = weak_components(g)
+        print(f"##num_weakly_connected_components: {len(comps)}")
+        print("#component\tnodes")
+        for i, c in enumerate(comps):
+            print(f"{i}\t{len(c)}")
+    if args.self_loops:
+        print(f"#type\tnum")
+        print(f"total\t{num_self_loops(g)}")
+    if args.base_content:
+        for base, count in sorted(stats.base_content(g).items()):
+            print(f"{base}\t{count}")
+    if args.mean_links_length:
+        m = stats.mean_links_length(
+            g, xy=xy, penalize_gap_links=not args.no_gap_links
+        )
+        print("#mean_links_length")
+        if xy is not None:
+            print("path\tin_2D_space\tnum_links_considered")
+            print(f"all_paths\t{_g(m.all_2d)}\t{m.all_num_links}")
+        else:
+            hdr = "path\tin_node_space\tin_nucleotide_space\tnum_links_considered"
+            if args.no_gap_links:
+                hdr += "\tnum_gap_links_not_penalized"
+            print(hdr)
+            row = f"all_paths\t{_g(m.all_node_space)}\t{_g(m.all_nt_space)}\t{m.all_num_links}"
+            if args.no_gap_links:
+                row += f"\t{m.all_num_gap_links}"
+            print(row)
+    if args.sum_path_nodes_distances:
+        d = stats.sum_of_path_node_distances(
+            g, xy=xy, penalize_diff_orientation=args.penalize_different_orientation
+        )
+        print("#sum_of_path_node_distances")
+        if xy is not None:
+            hdr = "path\tin_2D_space_by_nodes\tin_2D_space_by_nucleotides\tnodes\tnucleotides"
+        else:
+            hdr = "path\tin_node_space\tin_nucleotide_space\tnodes\tnucleotides\tnum_penalties"
+        if args.penalize_different_orientation:
+            hdr += "\tnum_penalties_different_orientation"
+        print(hdr)
+        if xy is not None:
+            row = (
+                f"all_paths\t{_g(d.all_2d_by_nodes)}\t{_g(d.all_2d_by_nucleotides)}"
+                f"\t{int(d.per_path_nodes.sum())}\t{int(d.per_path_nucleotides.sum())}"
+            )
+        else:
+            row = (
+                f"all_paths\t{_g(d.all_node_space)}\t{_g(d.all_nt_space)}"
+                f"\t{int(d.per_path_nodes.sum())}\t{int(d.per_path_nucleotides.sum())}"
+                f"\t{d.all_num_penalties}"
+            )
+        if args.penalize_different_orientation:
+            row += f"\t{d.all_num_penalties_diff_orientation}"
+        print(row)
+    if args.weighted_feedback_arc:
+        _, total = stats.weighted_feedback_arcs(g)
+        print("path\tweighted_feedback_arc")
+        print(f"all_paths\t{total}")
+    if args.weighted_reversing_join:
+        _, total = stats.weighted_reversing_joins(g)
+        print("path\tweighted_reversing_join")
+        print(f"all_paths\t{total}")
+    return 0
+
+
+def _g(v) -> str:
+    """6-significant-digit formatting like the reference's default cout."""
+    if v is None:
+        return "0"
+    return f"{v:.6g}"
+
+
+def cmd_sort(args):
+    from ..algorithms.path_sgd_sort import sort_pipeline
+    from ..algorithms.topological import topological_order
+
+    g = load_any(args.input)
+    if args.optimize:
+        g = g.optimize()
+    pipeline = args.pipeline or ("Y" if args.path_sgd else "s")
+    g = sort_pipeline(g, pipeline)
+    _out_graph(g, args.out)
+    return 0
+
+
+def cmd_layout(args):
+    from ..algorithms.layout import layout_graph, layout_to_tsv
+    from ..io.lay import save_layout
+    from ..ops.sgd import derive_config_2d
+
+    g = load_any(args.input)
+    if not g.is_optimized():
+        g = g.optimize()
+    overrides = {}
+    if args.iter_max:
+        overrides["iter_max"] = args.iter_max
+    cfg = derive_config_2d(g, **overrides)
+    coords = layout_graph(g, cfg, init_mode=args.init)
+    if args.out:
+        save_layout(coords, args.out)
+    if args.tsv:
+        layout_to_tsv(coords, sys.stdout if args.tsv == "-" else args.tsv)
+    return 0
+
+
+def cmd_paths(args):
+    g = load_any(args.input)
+    if args.list:
+        for name in g.path_names:
+            print(name)
+    if args.lengths:
+        print("#path\tlength\tsteps")
+        for p in range(g.num_paths):
+            print(
+                f"{g.path_names[p]}\t{int(g.path_length[p])}\t{int(g.path_step_count[p])}"
+            )
+    if args.fasta:
+        for p in range(g.num_paths):
+            lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+            seq = b"".join(
+                g.node_seq(int(h) >> 1, bool(h & 1))
+                for h in g.step_handle[lo:hi]
+            )
+            sys.stdout.write(f">{g.path_names[p]}\n")
+            for i in range(0, len(seq), 80):
+                sys.stdout.write(seq[i : i + 80].decode() + "\n")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="odgi_tpu", description="TPU-native pangenome graph engine"
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("build", help="construct a graph from GFA")
+    p.add_argument("-g", "--gfa", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-O", "--optimize", action="store_true")
+    p.add_argument("-s", "--sort", action="store_true")
+    p.set_defaults(fn=cmd_build)
+
+    p = sub.add_parser("view", help="write graph as GFA to stdout")
+    p.add_argument("-i", "--input", required=True)
+    p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("validate", help="check path/edge consistency")
+    p.add_argument("-i", "--input", required=True)
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("stats", help="graph statistics")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-S", "--summarize", action="store_true")
+    p.add_argument("-W", "--weakly-connected-components", action="store_true")
+    p.add_argument("-L", "--self-loops", action="store_true")
+    p.add_argument("-b", "--base-content", action="store_true")
+    p.add_argument("-l", "--mean-links-length", action="store_true")
+    p.add_argument("-g", "--no-gap-links", action="store_true")
+    p.add_argument("-s", "--sum-path-nodes-distances", action="store_true")
+    p.add_argument("-d", "--penalize-different-orientation", action="store_true")
+    p.add_argument("-w", "--weighted-feedback-arc", action="store_true")
+    p.add_argument("-j", "--weighted-reversing-join", action="store_true")
+    p.add_argument("-c", "--coords-in", default=None)
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("sort", help="sort the graph")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-p", "--pipeline", default=None, help="e.g. Ygs")
+    p.add_argument("-Y", "--path-sgd", action="store_true")
+    p.add_argument("-O", "--optimize", action="store_true")
+    p.set_defaults(fn=cmd_sort)
+
+    p = sub.add_parser("layout", help="2D PG-SGD layout")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-T", "--tsv", default=None)
+    p.add_argument("-x", "--iter-max", type=int, default=None)
+    p.add_argument("-N", "--init", default="d", choices=list("drugh"))
+    p.set_defaults(fn=cmd_layout)
+
+    p = sub.add_parser("paths", help="path information")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-L", "--list", action="store_true")
+    p.add_argument("-l", "--lengths", action="store_true")
+    p.add_argument("-f", "--fasta", action="store_true")
+    p.set_defaults(fn=cmd_paths)
+
+    return ap
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # downstream closed (e.g. | head); exit quietly like a unix tool
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

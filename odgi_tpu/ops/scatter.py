@@ -1,0 +1,90 @@
+"""MXU-friendly gather / scatter-mean via factored one-hot matmuls.
+
+XLA's native scatter on TPU serializes random-index updates onto the scalar
+core (~µs per element) — the PG-SGD hot loop spends >95% of its time there.
+The TPU-native alternative: express gather and scatter as matmuls against
+one-hot matrices so they run on the systolic array.  A full one-hot would
+cost B×M compares to build; we factor the index as
+
+    idx = hi * 128 + lo,   E_hi: (B, M/128),  E_lo: (B, 128)
+
+so gather(C)[b] = Σ_{h,l} E_hi[b,h] · E_lo[b,l] · C[h,l]  — one (B,H)@(H,·)
+matmul plus a 128-wide lane contraction, and scatter-add is its transpose:
+acc.reshape(H,128) = E_hi^T @ (E_lo ⊙ values).  Compare cost drops from
+B×M to B×(M/128 + 128); the MACs are trivial for the MXU.
+
+This replaces the role of the CUDA kernel's atomicExch update loop
+(reference: src/cuda/layout.cu:141-188) with dense systolic work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+LANE = 128
+
+
+def _pad_rows(m: int) -> int:
+    return -(-m // LANE) * LANE
+
+
+def _onehot_factors(idx, num_hi):
+    """E_hi (B, num_hi) and E_lo (B, 128) one-hot factor matrices, f32."""
+    hi = idx // LANE
+    lo = idx % LANE
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, num_hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    e_hi = (hi[:, None] == iota_hi).astype(jnp.float32)
+    e_lo = (lo[:, None] == iota_lo).astype(jnp.float32)
+    return e_hi, e_lo
+
+
+def factored_gather(table, idx):
+    """table: (M, C) f32, idx: (B,) i32 -> (B, C) rows, via MXU matmuls."""
+    M, C = table.shape
+    Mp = _pad_rows(M)
+    H = Mp // LANE
+    if Mp != M:
+        table = jnp.pad(table, ((0, Mp - M), (0, 0)))
+    e_hi, e_lo = _onehot_factors(idx, H)
+    # (B, H) @ (H, LANE*C) -> (B, LANE*C)
+    t = jnp.dot(
+        e_hi, table.reshape(H, LANE * C), preferred_element_type=jnp.float32
+    )
+    t = t.reshape(-1, LANE, C)
+    return jnp.einsum("bl,blc->bc", e_lo, t)
+
+
+def factored_scatter_add(shape_m, idx, values):
+    """Dense scatter-add: returns (M, C) accumulator with values (B, C)
+    summed at rows idx.  Conflicts sum exactly (f32 accumulate)."""
+    B, C = values.shape
+    Mp = _pad_rows(shape_m)
+    H = Mp // LANE
+    e_hi, e_lo = _onehot_factors(idx, H)
+    # (B, LANE, C): spread each value across its lane slot
+    spread = e_lo[:, :, None] * values[:, None, :]
+    acc = jnp.dot(
+        e_hi.T, spread.reshape(B, LANE * C), preferred_element_type=jnp.float32
+    )
+    return acc.reshape(Mp, C)[:shape_m]
+
+
+def scatter_mean_apply(table, idx_list, upd_list, valid):
+    """Apply the PG-SGD batch merge: table += mean of updates per row.
+
+    idx_list/upd_list are matching lists (e.g. [ep_a, ep_b] with
+    [-upd, +upd]); `valid` masks lanes.  Counts and sums ride one fused
+    scatter by appending a count column.
+    """
+    M, C = table.shape
+    v = valid.astype(jnp.float32)
+    acc = jnp.zeros((M, C + 1), jnp.float32)
+    for idx, upd in zip(idx_list, upd_list):
+        cols = jnp.concatenate([upd, v[:, None]], axis=1)
+        acc = acc + factored_scatter_add(M, idx, cols)
+    cnt = acc[:, C]
+    return table + acc[:, :C] / jnp.maximum(cnt, 1.0)[:, None]

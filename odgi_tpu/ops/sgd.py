@@ -3,33 +3,42 @@
 Re-designs the reference's Hogwild PG-SGD (reference:
 src/algorithms/path_sgd.cpp:12-464 for 1D, src/algorithms/path_sgd_layout.cpp
 and the SC'24 CUDA port src/cuda/layout.cu:190-287 for 2D) as batched
-device-wide pair updates:
+device-wide pair updates.  TPUs have neither fast random scalar access nor
+atomics, so the kernel is shaped around three facts of the hardware:
 
-- All sampling state is a flat step tensor (the CUDA `element_array` model,
-  reference: src/cuda/layout.h:30-47) plus the quantized zeta table.
-- Per iteration we run `min_term_updates` term updates in batches of
-  `batch_size`; within a batch, pair updates are computed against a common
-  snapshot of the coordinates and merged by scatter-add.  The reference's
-  CUDA kernel runs ALL of an iteration's updates against one snapshot with
-  racing atomicExch stores (src/cuda/layout.cu:442-447,184-187), so our
-  semantics are strictly *fresher* than the accelerator reference; the CPU
-  Hogwild loop is fresher still but serial per pair.  Convergence is
-  statistical in all three (the reference comments its own races "risky",
-  path_sgd.cpp:367).
-- RNG is counter-based threefry (`jax.random`), keyed by
-  (seed, iteration, batch): deterministic for a fixed batch size/device
-  count, unlike the reference's free-running per-thread Xoshiro
-  (path_sgd.cpp:208-209) — this is our documented RNG contract.
-- The learning-rate schedule and cooling phase are exact ports
-  (path_sgd.cpp:466-501; first_cooling_iteration = floor(cooling_start *
-  iter_max), path_sgd.cpp:44).  Like the CUDA port (layout.cu:239) and
-  unlike the CPU path, theta stays constant during cooling (the CPU path
-  swaps in theta=0.001 but keeps zetas computed for the original theta —
-  path_sgd.cpp:146-148,194-197 — a mismatch we do not reproduce).
+1. **No integer divide** — every range reduction is a float multiply on
+   24-bit uniforms (exact below 2^24; the CUDA kernel's `%` reduction,
+   layout.cu:207, has the same bias class).
+2. **Random gathers cost ~0.2 ms per 32k-lane batch; contiguous reads are
+   free.**  The first step of each term pair is therefore drawn by walking
+   a PRE-PERMUTED copy of the step table sequentially (classic shuffled-
+   epoch SGD: uniform marginal, exactly-once coverage per epoch, and
+   empirically at least as good as iid draws).  All of a step's sampling
+   attributes are denormalized into one 8-column row so the second step
+   costs a single row gather instead of eight scalar gathers.
+3. **Scatter serializes on the scalar core; the MXU does not.**  The
+   coordinate update merges each batch's conflicting pair updates by a
+   per-node mean computed with factored one-hot matmuls (ops/scatter.py) —
+   dense systolic work replacing the CUDA kernel's atomicExch race
+   (layout.cu:184-187).  Mean-merge keeps batched updates stable where
+   summing would diverge; one-update-per-node-per-wavefront is also what
+   the atomicExch race effectively applies.
 
-Coordinates are float32 (CUDA precedent: src/cuda/layout.h:21 uses float);
-positions/distances are computed in int32 then cast, so term distances are
-exact.
+RNG is counter-based threefry keyed by (seed, iteration, batch):
+deterministic for a fixed batch size / device count — our documented RNG
+contract (the reference is nondeterministic across threads,
+path_sgd.cpp:208-209, so only converged order/stress is comparable).
+
+The learning-rate schedule and cooling phase are exact ports
+(path_sgd.cpp:466-501; first_cooling_iteration = floor(cooling_start *
+iter_max)).  Like the CUDA port (layout.cu:239) and unlike the CPU path,
+theta stays constant during cooling (the CPU path swaps in theta=0.001 but
+keeps zetas computed for the original theta — path_sgd.cpp:146-148,194-197
+— a mismatch we measured to *hurt* quality and do not reproduce).
+
+Coordinates are float32 (CUDA precedent: src/cuda/layout.h:21); positions
+and term distances are integer i32, cast after subtraction, so distances
+are exact.
 """
 
 from __future__ import annotations
@@ -45,7 +54,15 @@ import jax
 import jax.numpy as jnp
 
 from ..core.graph import GraphTensors, handle_is_reverse, handle_rank
+from .scatter import factored_gather, scatter_mean_apply
 from .zipf import zeta_index, zeta_table, zipf_sample
+
+# A-table columns (permuted, walked sequentially for the first step).
+_A_LO, _A_RANK, _A_COUNT, _A_POS, _A_POSEND, _A_HANDLE = range(6)
+_A_COLS = 8  # padded to 8 for tile alignment
+# B-table columns (true step order, row-gathered for the second step).
+_B_POS, _B_POSEND, _B_HANDLE = range(3)
+_B_COLS = 4
 
 
 # ---------------------------------------------------------------------------
@@ -62,7 +79,9 @@ def sgd_schedule(
 ) -> np.ndarray:
     eta_max = 1.0 / w_min
     eta_min = eps / w_max
-    lam = math.log(eta_max / eta_min) / (iter_max - 1)
+    lam = (
+        math.log(eta_max / eta_min) / (iter_max - 1) if iter_max > 1 else 0.0
+    )
     t = np.arange(iter_max + 1, dtype=np.float64)
     etas = eta_max * np.exp(-lam * np.abs(t - iter_with_max_learning_rate))
     # CUDA guards NaN -> eta_min (layout.cu:312)
@@ -76,26 +95,32 @@ def sgd_schedule(
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=[
-        "step_path", "step_node", "step_rev", "step_pos",
-        "path_offset", "path_count", "node_len", "zetas",
-    ],
-    meta_fields=["num_steps", "num_nodes"],
+    data_fields=["tab_a", "tab_b", "tab_b_f", "zetas"],
+    meta_fields=["num_steps", "num_nodes", "tables_exact"],
 )
 @dataclass(frozen=True)
 class SgdData:
-    """Flattened sampling tensors (device-resident pytree)."""
+    """Device-resident sampling tensors (pytree).
 
-    step_path: jnp.ndarray    # i32[S] path index per step
-    step_node: jnp.ndarray    # i32[S] node rank per step
-    step_rev: jnp.ndarray     # bool[S] orientation per step
-    step_pos: jnp.ndarray     # i32[S] nt offset of step within its path
-    path_offset: jnp.ndarray  # i32[P+1]
-    path_count: jnp.ndarray   # i32[P]
-    node_len: jnp.ndarray     # i32[N]
-    zetas: jnp.ndarray        # f32[Z] quantized zeta table
+    tab_a: i32 (2*S, 8) — the step table in a fixed random permutation,
+        doubled so any length<=S slice wraps; columns
+        [path_first_step, step_rank_in_path, path_step_count,
+         pos, pos_end, packed_handle, 0, 0].
+        This subsumes the XP index's np_bv/nr_iv/npi_iv sampling triple
+        (reference: src/algorithms/xp.hpp:168-174) and the per-path
+        position lookups, denormalized per step.
+    tab_b: i32 (S, 4) — [pos, pos_end, packed_handle, 0] in true step
+        order, addressed by first_step + jumped_rank.
+    zetas: f32 quantized zeta table (reference: path_sgd.cpp:128-138).
+    """
+
+    tab_a: jnp.ndarray
+    tab_b: jnp.ndarray
+    tab_b_f: jnp.ndarray  # f32 copy of tab_b for the MXU-factored gather
+    zetas: jnp.ndarray
     num_steps: int
     num_nodes: int
+    tables_exact: bool  # all tab_b values < 2^24 (f32-exact for MXU path)
 
     @staticmethod
     def build(
@@ -105,21 +130,46 @@ class SgdData:
         space_max: int,
         quant_step: int,
         use_paths: Optional[Sequence[int]] = None,
+        perm_seed: int = 421,
     ) -> "SgdData":
         if use_paths is not None and sorted(use_paths) != list(range(g.num_paths)):
             g = g.keep_paths(sorted(use_paths))
+        S = g.num_steps
+        handle = g.step_handle.astype(np.int64)
+        node = (handle >> 1).astype(np.int64)
+        pos = g.step_pos.astype(np.int64)
+        pos_end = pos + g.node_len[node]
+        lo = g.path_offset[g.step_path].astype(np.int64)
+        rank = np.arange(S, dtype=np.int64) - lo
+        count = g.path_step_count[g.step_path].astype(np.int64)
+
+        a = np.zeros((max(S, 1), _A_COLS), dtype=np.int32)
+        if S:
+            a[:, _A_LO] = lo
+            a[:, _A_RANK] = rank
+            a[:, _A_COUNT] = count
+            a[:, _A_POS] = pos
+            a[:, _A_POSEND] = pos_end
+            a[:, _A_HANDLE] = handle
+            perm = np.random.default_rng(perm_seed).permutation(S)
+            a = a[perm]
+        tab_a = np.concatenate([a, a], axis=0)
+
+        b = np.zeros((max(S, 1), _B_COLS), dtype=np.int32)
+        if S:
+            b[:, _B_POS] = pos
+            b[:, _B_POSEND] = pos_end
+            b[:, _B_HANDLE] = handle
+
         zetas = zeta_table(space, space_max, quant_step, theta)
         return SgdData(
-            step_path=jnp.asarray(g.step_path, jnp.int32),
-            step_node=jnp.asarray(handle_rank(g.step_handle), jnp.int32),
-            step_rev=jnp.asarray(handle_is_reverse(g.step_handle)),
-            step_pos=jnp.asarray(g.step_pos, jnp.int32),
-            path_offset=jnp.asarray(g.path_offset, jnp.int32),
-            path_count=jnp.asarray(g.path_step_count, jnp.int32),
-            node_len=jnp.asarray(g.node_len, jnp.int32),
+            tab_a=jnp.asarray(tab_a),
+            tab_b=jnp.asarray(b),
+            tab_b_f=jnp.asarray(b, jnp.float32),
             zetas=jnp.asarray(zetas, jnp.float32),
-            num_steps=g.num_steps,
+            num_steps=S,
             num_nodes=g.num_nodes,
+            tables_exact=bool(b.max(initial=0) < 2**24),
         )
 
 
@@ -139,8 +189,11 @@ class SgdConfig:
     space_max: int = 100
     space_quantization_step: int = 100
     cooling_start: float = 0.5
-    batch_size: int = 8192
+    batch_size: int = 32768
     seed: int = 9399220  # the reference's worker seed base (path_sgd.cpp:208)
+    mxu_coords: bool = True  # factored one-hot coords ops (vs XLA scatter)
+    mxu_tables: bool = True  # factored one-hot step-table gather (vs XLA)
+    rng_impl: str = "rbg"  # hardware RNG; 'threefry2x32' for splittability
 
     @property
     def first_cooling_iteration(self) -> int:
@@ -149,6 +202,19 @@ class SgdConfig:
     @property
     def num_batches(self) -> int:
         return max(1, -(-self.min_term_updates // self.batch_size))
+
+
+def _clamp_batch(batch_size: int, num_steps: int, epoch_div: int = 4) -> int:
+    """Batch must not exceed the step count (the A-table walk wraps once),
+    and is capped at S/epoch_div so an epoch spans several coordinate
+    snapshots: merging a whole epoch against one snapshot measurably hurts
+    1D convergence (full staleness), so 1D uses epoch_div=4 (matches iid
+    quality); 2D runs 10 epochs per iteration and tolerates epoch_div=2
+    (stress 1.21 -> 1.23 on DRB1 while halving per-batch overhead)."""
+    if num_steps <= 0:
+        return 1
+    cap = max(1, num_steps // epoch_div) if num_steps >= 2 * epoch_div else num_steps
+    return max(1, min(batch_size, cap))
 
 
 def derive_config_1d(g: GraphTensors, **overrides) -> SgdConfig:
@@ -176,6 +242,9 @@ def derive_config_1d(g: GraphTensors, **overrides) -> SgdConfig:
         cooling_start=0.5,
     )
     cfg.update(overrides)
+    cfg["batch_size"] = _clamp_batch(
+        cfg.get("batch_size", SgdConfig.batch_size), sum_steps, epoch_div=4
+    )
     return SgdConfig(**cfg)
 
 
@@ -197,6 +266,9 @@ def derive_config_2d(g: GraphTensors, **overrides) -> SgdConfig:
         cooling_start=0.5,
     )
     cfg.update(overrides)
+    cfg["batch_size"] = _clamp_batch(
+        cfg.get("batch_size", SgdConfig.batch_size), sum_steps, epoch_div=2
+    )
     return SgdConfig(**cfg)
 
 
@@ -205,34 +277,39 @@ def derive_config_2d(g: GraphTensors, **overrides) -> SgdConfig:
 # ---------------------------------------------------------------------------
 
 
-def _sample_pairs(key, data: SgdData, cfg: SgdConfig, cooling: bool):
-    """Sample a batch of term pairs.
+def _u24(word):
+    """uint32 -> uniform f32 in [0, 1) with 24-bit resolution."""
+    return (word >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)
 
-    Returns (step_a, step_b, valid): i32[B] step indices into the flat step
-    tensor and a validity mask (paths with <2 steps are dropped, matching
-    path_sgd.cpp:229-232 / layout.cu:212-214).
 
-    Mirrors the reference sampling scheme exactly
-    (path_sgd.cpp:215-279, layout.cu:205-246): uniform step over all path
-    steps -> its path; with p=1/2 (or always when cooling) a Zipf-distributed
-    jump along the same path (direction: backward with p=1/2 unless at the
-    path ends), else a uniform second step in the path.
+def _sample_pairs(key, start, data: SgdData, cfg: SgdConfig, cooling):
+    """Sample one batch of term pairs.
+
+    First steps: B consecutive rows of the permuted A-table starting at
+    `start` (wraps via the doubled table).  Second steps mirror the
+    reference scheme exactly (path_sgd.cpp:245-279, layout.cu:222-246):
+    with p=1/2 (or always when cooling) a Zipf jump along the path
+    (backward with p=1/2 unless at the ends), else uniform in the path.
+
+    Returns (rows_a (B,8) i32, rows_b (B,4) i32, valid mask).
     """
     B = cfg.batch_size
-    bits = jax.random.bits(key, (5, B), dtype=jnp.uint32)
-    S = data.num_steps
-
-    step_a = (bits[0] % jnp.uint32(S)).astype(jnp.int32)
-    path = data.step_path[step_a]
-    lo = data.path_offset[path]
-    count = data.path_count[path]
-    s_rank = step_a - lo
+    rows_a = jax.lax.dynamic_slice(
+        data.tab_a, (start, 0), (B, _A_COLS)
+    )
+    lo = rows_a[:, _A_LO]
+    s_rank = rows_a[:, _A_RANK]
+    count = rows_a[:, _A_COUNT]
     valid = count > 1
 
-    coin_zipf = (bits[1] & 1).astype(jnp.bool_)
-    coin_dir = (bits[2] & 1).astype(jnp.bool_)
-    # uniform in [0, 1) with 24-bit mantissa
-    u = (bits[3] >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2**-24)
+    # Two random words per lane: word0 feeds the branch coins (bits 0-1)
+    # and the Zipf uniform (bits 8-31); word1 feeds the uniform second step
+    # (bits 8-31) and the 2D endpoint coins (bits 0-1, used by the caller).
+    bits = jax.random.bits(key, (2, B), dtype=jnp.uint32)
+    w0, w1 = bits[0], bits[1]
+    coin_zipf = (w0 & 1).astype(jnp.bool_)
+    coin_dir = (w0 & 2).astype(jnp.bool_)
+    u = _u24(w0)
 
     backward = ((s_rank > 0) & coin_dir) | (s_rank == count - 1)
     jump_space = jnp.minimum(
@@ -249,12 +326,15 @@ def _sample_pairs(key, data: SgdData, cfg: SgdConfig, cooling: bool):
         ],
     )
     s2_zipf = jnp.where(backward, s_rank - zi, s_rank + zi)
-    s2_unif = (bits[4] % count.astype(jnp.uint32)).astype(jnp.int32)
+    s2_unif = jnp.floor(_u24(w1) * count.astype(jnp.float32)).astype(jnp.int32)
     use_zipf = jnp.logical_or(coin_zipf, cooling)
-    s2 = jnp.where(use_zipf, s2_zipf, s2_unif)
-    s2 = jnp.clip(s2, 0, count - 1)
+    s2 = jnp.clip(jnp.where(use_zipf, s2_zipf, s2_unif), 0, count - 1)
     step_b = lo + s2
-    return step_a, step_b, valid
+    if cfg.mxu_tables and data.tables_exact:
+        rows_b = factored_gather(data.tab_b_f, step_b).astype(jnp.int32)
+    else:
+        rows_b = data.tab_b[step_b]
+    return rows_a, rows_b, valid, w1
 
 
 # ---------------------------------------------------------------------------
@@ -262,32 +342,134 @@ def _sample_pairs(key, data: SgdData, cfg: SgdConfig, cooling: bool):
 # ---------------------------------------------------------------------------
 
 
-def _update_1d(X, key, data: SgdData, cfg: SgdConfig, eta, cooling: bool):
-    step_a, step_b, valid = _sample_pairs(key, data, cfg, cooling)
-    pos_a = data.step_pos[step_a]
-    pos_b = data.step_pos[step_b]
-    i = data.step_node[step_a]
-    j = data.step_node[step_b]
+def _update_1d(X, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
+    rows_a, rows_b, valid, _ = _sample_pairs(key, start, data, cfg, cooling)
+    pos_a = rows_a[:, _A_POS]
+    pos_b = rows_b[:, _B_POS]
+    i = rows_a[:, _A_HANDLE] >> 1
+    j = rows_b[:, _B_HANDLE] >> 1
     term_dist = jnp.abs(pos_a - pos_b).astype(jnp.float32)
     valid = valid & (term_dist != 0)
     w = 1.0 / jnp.maximum(term_dist, 1e-30)
     mu = jnp.minimum(eta * w, 1.0)
-    dx = X[i] - X[j]
+    if cfg.mxu_coords:
+        Xc = X[:, None]
+        xi = factored_gather(Xc, i)[:, 0]
+        xj = factored_gather(Xc, j)[:, 0]
+    else:
+        xi = X[i]
+        xj = X[j]
+    dx = xi - xj
     dx = jnp.where(dx == 0.0, 1e-9, dx)
     mag = jnp.abs(dx)
     delta = mu * (mag - term_dist) / 2.0
     r_x = jnp.where(valid, delta / mag * dx, 0.0)
-    # Merge conflicting updates by averaging: each pair update alone moves a
-    # node by its full requested displacement (the reference applies them
-    # sequentially / via racing atomicExch, layout.cu:184-187, so at most
-    # ~one full displacement lands per node per wavefront); summing them
-    # would overshoot and diverge, so we divide by the per-node hit count.
-    v = valid.astype(jnp.float32)
-    acc = jnp.zeros_like(X).at[i].add(-r_x).at[j].add(r_x)
-    cnt = jnp.zeros_like(X).at[i].add(v).at[j].add(v)
-    X = X + acc / jnp.maximum(cnt, 1.0)
+    # Merge conflicting updates by per-node averaging (see module docstring).
+    if cfg.mxu_coords:
+        Xn = scatter_mean_apply(
+            X[:, None], [i, j], [-r_x[:, None], r_x[:, None]], valid
+        )[:, 0]
+    else:
+        v = valid.astype(jnp.float32)
+        acc = jnp.zeros_like(X).at[i].add(-r_x).at[j].add(r_x)
+        cnt = jnp.zeros_like(X).at[i].add(v).at[j].add(v)
+        Xn = X + acc / jnp.maximum(cnt, 1.0)
     batch_max = jnp.max(jnp.where(valid, jnp.abs(delta), 0.0))
-    return X, batch_max
+    return Xn, batch_max
+
+
+# ---------------------------------------------------------------------------
+# 2D update (gpu_layout_kernel + update_pos_gpu, layout.cu:141-287)
+# ---------------------------------------------------------------------------
+
+
+def _endpoints_2d(coin, rows, pos_col, posend_col, handle_col):
+    """Choose head/tail endpoints with orientation fix-up, exactly as the
+    CUDA kernel (layout.cu:252-281).  `coin` is a bool per lane.  Returns
+    (ep, pos): endpoint index into the (2N, 2) coords array and the i32
+    path position (CUDA's pos starts at 1, layout.cu:385; ours is 0-based —
+    the shift cancels in the distance)."""
+    handle = rows[:, handle_col]
+    node = handle >> 1
+    rev = (handle & 1).astype(jnp.bool_)
+    pos = jnp.where(coin, rows[:, posend_col], rows[:, pos_col])
+    use_other = jnp.where(coin, ~rev, rev)
+    ep = 2 * node + use_other.astype(jnp.int32)
+    return ep, pos
+
+
+def _update_2d(coords, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
+    rows_a, rows_b, valid, w1 = _sample_pairs(key, start, data, cfg, cooling)
+    coin_a = (w1 & 1).astype(jnp.bool_)
+    coin_b = (w1 & 2).astype(jnp.bool_)
+    ep_a, pos_a = _endpoints_2d(coin_a, rows_a, _A_POS, _A_POSEND, _A_HANDLE)
+    ep_b, pos_b = _endpoints_2d(coin_b, rows_b, _B_POS, _B_POSEND, _B_HANDLE)
+    term_dist = jnp.maximum(jnp.abs(pos_a - pos_b).astype(jnp.float32), 1e-9)
+    mu = jnp.minimum(eta / term_dist, 1.0)
+    if cfg.mxu_coords:
+        ca = factored_gather(coords, ep_a)
+        cb = factored_gather(coords, ep_b)
+    else:
+        ca = coords[ep_a]
+        cb = coords[ep_b]
+    d = ca - cb
+    dx = jnp.where(d[:, 0] == 0.0, 1e-9, d[:, 0])
+    dy = d[:, 1]
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    delta = mu * (mag - term_dist) / 2.0
+    r = jnp.where(valid, delta / mag, 0.0)
+    upd = jnp.stack([r * dx, r * dy], axis=1)
+    if cfg.mxu_coords:
+        out = scatter_mean_apply(coords, [ep_a, ep_b], [-upd, upd], valid)
+    else:
+        v = valid.astype(jnp.float32)
+        acc = jnp.zeros_like(coords).at[ep_a].add(-upd).at[ep_b].add(upd)
+        cnt = (
+            jnp.zeros(coords.shape[0], jnp.float32).at[ep_a].add(v).at[ep_b].add(v)
+        )
+        out = coords + acc / jnp.maximum(cnt, 1.0)[:, None]
+    batch_max = jnp.max(jnp.where(valid, jnp.abs(delta), 0.0))
+    return out, batch_max
+
+
+# ---------------------------------------------------------------------------
+# Full-run drivers: one device program per optimization
+# ---------------------------------------------------------------------------
+
+
+def _batch_start(global_batch, B: int, S: int):
+    """A-table offset of a batch: (global_batch * B) mod S, computed with
+    scalar f64-free arithmetic (S < 2^31; one scalar mod is fine)."""
+    return (global_batch * B) % S
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_batches"), donate_argnums=(0,))
+def sgd_1d_run(X, key, etas, data: SgdData, cfg: SgdConfig, num_batches: int):
+    """The COMPLETE 1D PG-SGD run in one device program: a fori_loop over
+    iterations, each running `num_batches` update batches.
+
+    One dispatch for the whole optimization — the analog of the CUDA host
+    loop of kernel launches (layout.cu:442-447) but without per-iteration
+    host round-trips (which dominate when the device sits behind a network
+    tunnel).  Cooling is a traced per-iteration predicate.
+    """
+    first_cooling = cfg.first_cooling_iteration
+    B, S = cfg.batch_size, data.num_steps
+
+    def iter_body(it, X):
+        eta = etas[it]
+        cooling = it > first_cooling
+        key_it = jax.random.fold_in(key, it)
+
+        def body(b, X):
+            kb = jax.random.fold_in(key_it, b)
+            start = _batch_start(it * num_batches + b, B, S)
+            X, _ = _update_1d(X, kb, start, data, cfg, eta, cooling)
+            return X
+
+        return jax.lax.fori_loop(0, num_batches, body, X)
+
+    return jax.lax.fori_loop(0, cfg.iter_max, iter_body, X)
 
 
 @partial(
@@ -295,15 +477,16 @@ def _update_1d(X, key, data: SgdData, cfg: SgdConfig, eta, cooling: bool):
     static_argnames=("cfg", "cooling", "num_batches"),
     donate_argnums=(0,),
 )
-def sgd_1d_iteration(X, key, eta, data: SgdData, cfg: SgdConfig, cooling: bool, num_batches: int):
-    """One full PG-SGD 1D iteration: `num_batches` batches of pair updates.
-    Returns (X, Delta_max) for the host-side early-stop check
-    (path_sgd.cpp:183-190)."""
+def sgd_1d_iteration(X, key, eta, it, data: SgdData, cfg: SgdConfig, cooling: bool, num_batches: int):
+    """One 1D iteration (used when delta-based early stopping needs
+    per-iteration Delta_max on the host; path_sgd.cpp:183-190)."""
+    B, S = cfg.batch_size, data.num_steps
 
     def body(b, carry):
         X, dmax = carry
         kb = jax.random.fold_in(key, b)
-        X, batch_max = _update_1d(X, kb, data, cfg, eta, cooling)
+        start = _batch_start(it * num_batches + b, B, S)
+        X, batch_max = _update_1d(X, kb, start, data, cfg, eta, cooling)
         return X, jnp.maximum(dmax, batch_max)
 
     return jax.lax.fori_loop(0, num_batches, body, (X, jnp.float32(0.0)))
@@ -335,69 +518,49 @@ def path_sgd_1d(
     etas = sgd_schedule(
         1.0 / cfg.eta_max, 1.0, cfg.iter_max, cfg.iter_with_max_learning_rate, cfg.eps
     )
-    key = jax.random.PRNGKey(cfg.seed)
-    for it in range(cfg.iter_max):
-        cooling = it > cfg.first_cooling_iteration
-        X, dmax = sgd_1d_iteration(
-            X,
-            jax.random.fold_in(key, it),
-            jnp.float32(etas[it]),
-            data,
-            cfg,
-            cooling,
-            cfg.num_batches,
+    key = jax.random.key(cfg.seed, impl=cfg.rng_impl)
+    if cfg.delta <= 0:
+        X = sgd_1d_run(
+            X, key, jnp.asarray(etas, jnp.float32), data, cfg, cfg.num_batches
         )
-        if cfg.delta > 0 and float(dmax) <= cfg.delta:
-            break
+    else:
+        for it in range(cfg.iter_max):
+            cooling = it > cfg.first_cooling_iteration
+            X, dmax = sgd_1d_iteration(
+                X,
+                jax.random.fold_in(key, it),
+                jnp.float32(etas[it]),
+                it,
+                data,
+                cfg,
+                cooling,
+                cfg.num_batches,
+            )
+            if float(dmax) <= cfg.delta:
+                break
     return np.asarray(X, dtype=np.float64)
 
 
-# ---------------------------------------------------------------------------
-# 2D update (gpu_layout_kernel + update_pos_gpu, layout.cu:141-287)
-# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("cfg", "num_batches"), donate_argnums=(0,))
+def sgd_2d_run(coords, key, etas, data: SgdData, cfg: SgdConfig, num_batches: int):
+    """The COMPLETE 2D layout run in one device program (see sgd_1d_run)."""
+    first_cooling = cfg.first_cooling_iteration
+    B, S = cfg.batch_size, data.num_steps
 
+    def iter_body(it, coords):
+        eta = etas[it]
+        cooling = it >= first_cooling  # CUDA: iter >= first (layout.cu:201)
+        key_it = jax.random.fold_in(key, it)
 
-def _endpoints_2d(key, data: SgdData, step_a, step_b):
-    """Choose head/tail endpoints with orientation fix-up, exactly as the
-    CUDA kernel (layout.cu:252-281).  Returns (ep_a, ep_b, pos_a, pos_b):
-    endpoint indices into the (2N, 2) coords array and i32 path positions."""
-    bits = jax.random.bits(key, (2, step_a.shape[0]), dtype=jnp.uint32)
-    out = []
-    for t, step in enumerate((step_a, step_b)):
-        node = data.step_node[step]
-        rev = data.step_rev[step]
-        pos = data.step_pos[step] + 1  # CUDA pos starts at 1 (layout.cu:385)
-        coin = (bits[t] & 1).astype(jnp.bool_)
-        pos = jnp.where(coin, pos + data.node_len[node], pos)
-        use_other = jnp.where(coin, ~rev, rev)
-        ep = 2 * node + use_other.astype(jnp.int32)
-        out.append((ep, pos))
-    (ep_a, pos_a), (ep_b, pos_b) = out
-    return ep_a, ep_b, pos_a, pos_b
+        def body(b, coords):
+            kb = jax.random.fold_in(key_it, b)
+            start = _batch_start(it * num_batches + b, B, S)
+            coords, _ = _update_2d(coords, kb, start, data, cfg, eta, cooling)
+            return coords
 
+        return jax.lax.fori_loop(0, num_batches, body, coords)
 
-def _update_2d(coords, key, data: SgdData, cfg: SgdConfig, eta, cooling: bool):
-    key_pair, key_ep = jax.random.split(key)
-    step_a, step_b, valid = _sample_pairs(key_pair, data, cfg, cooling)
-    ep_a, ep_b, pos_a, pos_b = _endpoints_2d(key_ep, data, step_a, step_b)
-    term_dist = jnp.abs(pos_a - pos_b).astype(jnp.float32)
-    term_dist = jnp.maximum(term_dist, 1e-9)
-    w = 1.0 / term_dist
-    mu = jnp.minimum(eta * w, 1.0)
-    d = coords[ep_a] - coords[ep_b]  # (B, 2)
-    dx = jnp.where(d[:, 0] == 0.0, 1e-9, d[:, 0])
-    dy = d[:, 1]
-    mag = jnp.sqrt(dx * dx + dy * dy)
-    delta = mu * (mag - term_dist) / 2.0
-    r = jnp.where(valid, delta / mag, 0.0)
-    upd = jnp.stack([r * dx, r * dy], axis=1)
-    # Average conflicting endpoint updates (see _update_1d).
-    v = valid.astype(jnp.float32)
-    acc = jnp.zeros_like(coords).at[ep_a].add(-upd).at[ep_b].add(upd)
-    cnt = jnp.zeros(coords.shape[0], jnp.float32).at[ep_a].add(v).at[ep_b].add(v)
-    coords = coords + acc / jnp.maximum(cnt, 1.0)[:, None]
-    batch_max = jnp.max(jnp.where(valid, jnp.abs(delta), 0.0))
-    return coords, batch_max
+    return jax.lax.fori_loop(0, cfg.iter_max, iter_body, coords)
 
 
 @partial(
@@ -405,14 +568,15 @@ def _update_2d(coords, key, data: SgdData, cfg: SgdConfig, eta, cooling: bool):
     static_argnames=("cfg", "cooling", "num_batches"),
     donate_argnums=(0,),
 )
-def sgd_2d_iteration(coords, key, eta, data: SgdData, cfg: SgdConfig, cooling: bool, num_batches: int):
-    """One full PG-SGD 2D layout iteration (one CUDA kernel launch analog,
-    layout.cu:442-447)."""
+def sgd_2d_iteration(coords, key, eta, it, data: SgdData, cfg: SgdConfig, cooling: bool, num_batches: int):
+    """One 2D layout iteration (delta-based early-stop path)."""
+    B, S = cfg.batch_size, data.num_steps
 
     def body(b, carry):
         coords, dmax = carry
         kb = jax.random.fold_in(key, b)
-        coords, batch_max = _update_2d(coords, kb, data, cfg, eta, cooling)
+        start = _batch_start(it * num_batches + b, B, S)
+        coords, batch_max = _update_2d(coords, kb, start, data, cfg, eta, cooling)
         return coords, jnp.maximum(dmax, batch_max)
 
     return jax.lax.fori_loop(0, num_batches, body, (coords, jnp.float32(0.0)))
@@ -427,7 +591,7 @@ def path_sgd_2d(
 ) -> np.ndarray:
     """Run the 2D PG-SGD layout; returns coords (2N, 2) f64 host array.
 
-    `coords0` is the (2N, 2) initial layout (see layout_init.py for the
+    `coords0` is the (2N, 2) initial layout (see layout.py for the
     d/r/u/g/h init modes of layout_main.cpp:268-330).
     """
     if cfg is None:
@@ -441,18 +605,24 @@ def path_sgd_2d(
     etas = sgd_schedule(
         1.0 / cfg.eta_max, 1.0, cfg.iter_max, cfg.iter_with_max_learning_rate, cfg.eps
     )
-    key = jax.random.PRNGKey(cfg.seed)
-    for it in range(cfg.iter_max):
-        cooling = it >= cfg.first_cooling_iteration  # CUDA: iter >= first (layout.cu:201)
-        coords, dmax = sgd_2d_iteration(
-            coords,
-            jax.random.fold_in(key, it),
-            jnp.float32(etas[it]),
-            data,
-            cfg,
-            cooling,
-            cfg.num_batches,
+    key = jax.random.key(cfg.seed, impl=cfg.rng_impl)
+    if cfg.delta <= 0:
+        coords = sgd_2d_run(
+            coords, key, jnp.asarray(etas, jnp.float32), data, cfg, cfg.num_batches
         )
-        if cfg.delta > 0 and float(dmax) <= cfg.delta:
-            break
+    else:
+        for it in range(cfg.iter_max):
+            cooling = it >= cfg.first_cooling_iteration
+            coords, dmax = sgd_2d_iteration(
+                coords,
+                jax.random.fold_in(key, it),
+                jnp.float32(etas[it]),
+                it,
+                data,
+                cfg,
+                cooling,
+                cfg.num_batches,
+            )
+            if float(dmax) <= cfg.delta:
+                break
     return np.asarray(coords, dtype=np.float64)

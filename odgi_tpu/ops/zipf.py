@@ -42,22 +42,31 @@ def zeta_table(space: int, space_max: int, quant_step: int, theta: float) -> np.
         hi_exact = min(hi, space_max + 1)
         if lo_exact < hi_exact:
             zetas[lo_exact:hi_exact] = z[: hi_exact - lo_exact]
-        # quantized region: i >= space_max and (i - space_max) % step == 0
-        idx = np.arange(lo, hi)
-        q = (idx >= space_max) & ((idx - space_max) % quant_step == 0)
-        if q.any():
-            zetas[space_max + 1 + (idx[q] - space_max) // quant_step] = z[q]
+        # quantized region: i >= space_max and (i - space_max) % step == 0.
+        # Only exists when space > space_max (the reference writes one slot
+        # out of bounds when space == space_max — path_sgd.cpp:128-137 —
+        # which we do not reproduce).
+        if space > space_max:
+            idx = np.arange(lo, hi)
+            q = (idx >= space_max) & ((idx - space_max) % quant_step == 0)
+            q &= space_max + 1 + (idx - space_max) // quant_step < len(zetas)
+            if q.any():
+                zetas[space_max + 1 + (idx[q] - space_max) // quant_step] = z[q]
     return zetas
 
 
 def zeta_index(jump_space, space_max: int, quant_step: int):
     """Map a jump space to its zeta-table index (reference:
-    path_sgd.cpp:249-253): exact below space_max, quantized above."""
-    return jnp.where(
-        jump_space > space_max,
-        space_max + 1 + (jump_space - space_max) // quant_step,
-        jump_space,
-    )
+    path_sgd.cpp:249-253): exact below space_max, quantized above.
+
+    The divide runs as float multiply (no integer div on TPU); exact while
+    jump_space - space_max < 2^24, i.e. for any path under ~16M steps
+    beyond which the quantization bucket would be off by at most one.
+    """
+    quantized = space_max + 1 + jnp.floor(
+        (jump_space - space_max).astype(jnp.float32) * jnp.float32(1.0 / quant_step)
+    ).astype(jnp.int32)
+    return jnp.where(jump_space > space_max, quantized, jump_space)
 
 
 def zipf_sample(u, n, theta: float, zeta2, zetan):

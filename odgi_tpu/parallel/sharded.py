@@ -1,0 +1,150 @@
+"""Multi-chip PG-SGD: replicated coordinates, sharded pair sampling.
+
+This is NEW capability relative to the reference, whose NCCL support is dead
+code (reference: src/cuda/layout.cu:15-22 — macro defined, never used;
+single GPU only).  Design per SURVEY.md §2.6/§5:
+
+- Coordinate arrays are REPLICATED on every chip (they are small: 2 floats
+  per node endpoint).
+- Pair sampling is sharded data-parallel over a 1D `data` mesh axis: each
+  device walks its own contiguous window of the permuted step table and
+  draws independent RNG folds, so a mesh round covers n_devices * B terms.
+- Per batch round, every device computes dense (delta-sum, hit-count)
+  accumulators over all coordinates and the mesh merges them with psum
+  before the mean update — replicas stay bit-identical and the merge
+  equals single-chip batched Hogwild with an n_devices-times-larger
+  effective batch.
+
+The collectives ride ICI (one psum of ~2N*3 floats per batch round); no
+host round-trips occur inside a run.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.scatter import factored_scatter_add
+from ..ops.sgd import (
+    SgdConfig,
+    SgdData,
+    _A_HANDLE,
+    _A_POS,
+    _A_POSEND,
+    _B_HANDLE,
+    _B_POS,
+    _B_POSEND,
+    _batch_start,
+    _endpoints_2d,
+    _sample_pairs,
+)
+
+
+def _local_acc_2d(coords, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
+    """One device's (M, 3) [dx, dy, count] accumulator for a local batch.
+    Mirrors ops.sgd._update_2d but returns the accumulator for psum."""
+    rows_a, rows_b, valid, w1 = _sample_pairs(key, start, data, cfg, cooling)
+    coin_a = (w1 & 1).astype(jnp.bool_)
+    coin_b = (w1 & 2).astype(jnp.bool_)
+    ep_a, pos_a = _endpoints_2d(coin_a, rows_a, _A_POS, _A_POSEND, _A_HANDLE)
+    ep_b, pos_b = _endpoints_2d(coin_b, rows_b, _B_POS, _B_POSEND, _B_HANDLE)
+    term_dist = jnp.maximum(jnp.abs(pos_a - pos_b).astype(jnp.float32), 1e-9)
+    mu = jnp.minimum(eta / term_dist, 1.0)
+    d = coords[ep_a] - coords[ep_b]
+    dx = jnp.where(d[:, 0] == 0.0, 1e-9, d[:, 0])
+    dy = d[:, 1]
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    delta = mu * (mag - term_dist) / 2.0
+    r = jnp.where(valid, delta / mag, 0.0)
+    v = valid.astype(jnp.float32)
+    M = coords.shape[0]
+    cols_a = jnp.stack([-r * dx, -r * dy, v], axis=1)
+    cols_b = jnp.stack([r * dx, r * dy, v], axis=1)
+    if cfg.mxu_coords:
+        acc = factored_scatter_add(M, ep_a, cols_a) + factored_scatter_add(
+            M, ep_b, cols_b
+        )
+    else:
+        acc = jnp.zeros((M, 3), jnp.float32).at[ep_a].add(cols_a).at[ep_b].add(cols_b)
+    return acc
+
+
+def make_sharded_sgd_2d(mesh: Mesh, cfg: SgdConfig, num_batches: int, axis: str = "data"):
+    """Build the jitted multi-chip 2D SGD full-run fn over `mesh`.
+
+    Returned fn signature: (coords, key, etas, data) -> coords, with every
+    array replicated (P() sharding); per-device RNG folds and step-table
+    windows give each chip an independent sample stream.
+    """
+    first_cooling = cfg.first_cooling_iteration
+    n_dev = int(np.prod(mesh.devices.shape))
+    B = cfg.batch_size
+
+    def run(coords, key, etas, data: SgdData):
+        dev = jax.lax.axis_index(axis)
+        S = data.num_steps
+
+        def iter_body(it, coords):
+            eta = etas[it]
+            cooling = it >= first_cooling
+            key_it = jax.random.fold_in(key, it)
+
+            def body(b, coords):
+                kb = jax.random.fold_in(key_it, b)
+                kd = jax.random.fold_in(kb, dev)
+                g_batch = (it * num_batches + b) * n_dev + dev
+                start = _batch_start(g_batch, B, S)
+                acc = _local_acc_2d(coords, kd, start, data, cfg, eta, cooling)
+                acc = jax.lax.psum(acc, axis)
+                return coords + acc[:, :2] / jnp.maximum(acc[:, 2], 1.0)[:, None]
+
+            return jax.lax.fori_loop(0, num_batches, body, coords)
+
+        return jax.lax.fori_loop(0, cfg.iter_max, iter_body, coords)
+
+    replicated = P()
+    fn = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(replicated, replicated, replicated, replicated),
+        out_specs=replicated,
+    )
+    return jax.jit(fn)
+
+
+def sharded_layout(
+    g,
+    mesh: Optional[Mesh] = None,
+    cfg: Optional[SgdConfig] = None,
+    init_mode: str = "d",
+    seed: int = 9399220,
+):
+    """End-to-end multi-chip 2D layout over all visible devices."""
+    from ..algorithms.layout import init_layout
+    from ..ops.sgd import derive_config_2d, sgd_schedule
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+    if cfg is None:
+        cfg = derive_config_2d(g)
+    data = SgdData.build(
+        g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step
+    )
+    coords = jnp.asarray(init_layout(g, init_mode, seed).astype(np.float32))
+    etas = jnp.asarray(
+        sgd_schedule(
+            1.0 / cfg.eta_max, 1.0, cfg.iter_max,
+            cfg.iter_with_max_learning_rate, cfg.eps,
+        ),
+        jnp.float32,
+    )
+    fn = make_sharded_sgd_2d(mesh, cfg, cfg.num_batches)
+    out = fn(coords, jax.random.key(cfg.seed, impl=cfg.rng_impl), etas, data)
+    return np.asarray(out, np.float64)
