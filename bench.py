@@ -50,9 +50,10 @@ def main():
     key = jax.random.key(cfg.seed, impl=cfg.rng_impl)
     coords0 = init_layout(g, "d").astype(np.float32)
 
-    # compile (cached across runs)
+    # compile (cached across runs); np.asarray forces a device->host copy —
+    # block_until_ready alone has proven unreliable on the axon platform
     out = sgd.sgd_2d_run(jnp.asarray(coords0), key, etas, data, cfg, cfg.num_batches)
-    out.block_until_ready()
+    np.asarray(out)
 
     # timed runs
     times = []
@@ -60,9 +61,9 @@ def main():
         c = jnp.asarray(coords0)
         t0 = time.time()
         out = sgd.sgd_2d_run(c, key, etas, data, cfg, cfg.num_batches)
-        out.block_until_ready()
+        np.asarray(out)
         times.append(time.time() - t0)
-    dt = min(times)
+    dt = float(np.median(times))
     total_pairs = cfg.num_batches * cfg.batch_size * cfg.iter_max
     pairs_per_sec = total_pairs / dt
     assert bool(jnp.isfinite(out).all()), "layout produced non-finite coords"

@@ -1,0 +1,355 @@
+"""Untangle: query-vs-target segmentation and path-Jaccard mapping.
+
+Port of the reference's untangle pipeline (reference:
+src/algorithms/untangle.cpp): `untangle_cuts` finds segment boundaries from
+self-linearity loops (:8-147), `merge_cuts` collapses boundaries closer
+than merge_dist (:161-181), `segment_map_t` maps nodes to target segments
+(:255-399), `get_matches` ranks overlapping target segments by
+occurrence-matched path Jaccard (:413-480), and `map_segments` emits
+BEDPE/PAF/gggenes rows (:553-699).
+
+Steps are addressed by their global flat index into the step tensor; a
+path's "end sentinel" is its past-the-end index with position =
+path length, mirroring graph.path_end().
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, TextIO, Tuple
+
+import numpy as np
+
+from ..core.graph import GraphTensors, handle_is_reverse, handle_rank
+
+
+class PathSelfIndex:
+    """Per-path node -> ordered step indices (the path_step_index_t
+    analog, reference: src/algorithms/stepindex.hpp:92-120)."""
+
+    def __init__(self, g: GraphTensors, p: int):
+        self.lo = int(g.path_offset[p])
+        self.hi = int(g.path_offset[p + 1])
+        self.on_node: Dict[int, List[int]] = {}
+        for s in range(self.lo, self.hi):
+            r = int(g.step_handle[s]) >> 1
+            self.on_node.setdefault(r, []).append(s)
+        self.counts = {r: len(v) for r, v in self.on_node.items()}
+
+    def next_on_node(self, rank: int, step: int) -> Optional[int]:
+        lst = self.on_node.get(rank)
+        if not lst:
+            return None
+        import bisect
+
+        i = bisect.bisect_right(lst, step)
+        return lst[i] if i < len(lst) else None
+
+    def prev_on_node(self, rank: int, step: int) -> Optional[int]:
+        lst = self.on_node.get(rank)
+        if not lst:
+            return None
+        import bisect
+
+        i = bisect.bisect_left(lst, step) - 1
+        return lst[i] if i >= 0 else None
+
+    def n_steps_on_node(self, rank: int) -> int:
+        return self.counts.get(rank, 0)
+
+
+def _pos(g: GraphTensors, p: int, step: int) -> int:
+    """Step position; the past-the-end sentinel maps to path length."""
+    if step == int(g.path_offset[p + 1]):
+        return int(g.path_length[p])
+    return int(g.step_pos[step])
+
+
+def untangle_cuts(
+    g: GraphTensors,
+    p: int,
+    self_index: PathSelfIndex,
+    is_cut: Callable[[int], bool],
+) -> List[int]:
+    """Segment boundaries of path p (reference: untangle.cpp:8-147).
+
+    Walks forward and backward over [begin, back], recursing into the
+    shortest self-loops found (a later step on the same node within the
+    window), collecting loop boundaries plus externally-cut nodes.
+    """
+    lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+    if hi == lo:
+        return []
+    start0, end0 = lo, hi - 1  # path_begin, path_back (inclusive)
+    seen_fwd = np.zeros(hi - lo, dtype=bool)
+    seen_rev = np.zeros(hi - lo, dtype=bool)
+    cuts: List[int] = []
+    todo = [(start0, end0)]
+    sh = g.step_handle
+    while todo:
+        start, end = todo.pop(0)
+        start_pos = _pos(g, p, start)
+        end_pos = _pos(g, p, end)
+        cuts.append(start)
+        # forward sweep
+        step = start
+        while step != end:
+            if not seen_fwd[step - lo]:
+                curr_pos = _pos(g, p, step)
+                rank = int(sh[step]) >> 1
+                if is_cut(rank):
+                    cuts.append(step)
+                seen_fwd[step - lo] = True
+                nxt = self_index.next_on_node(rank, step)
+                if nxt is not None:
+                    other_pos = _pos(g, p, nxt)
+                    if (
+                        other_pos > start_pos
+                        and other_pos < end_pos
+                        and other_pos > curr_pos
+                        and not seen_fwd[nxt - lo]
+                    ):
+                        todo.append((step, nxt))
+                        step = nxt
+                        continue
+            step += 1
+        # reverse sweep (reference :92-130)
+        if end == lo:
+            cuts.append(end)
+            break
+        step = end
+        while _pos(g, p, step) > start_pos:
+            if not seen_rev[step - lo]:
+                curr_pos = _pos(g, p, step)
+                rank = int(sh[step]) >> 1
+                if is_cut(rank):
+                    cuts.append(step)
+                seen_rev[step - lo] = True
+                prv = self_index.prev_on_node(rank, step)
+                if prv is not None:
+                    other_pos = _pos(g, p, prv)
+                    if (
+                        other_pos > start_pos
+                        and other_pos < end_pos
+                        and other_pos < curr_pos
+                        and not seen_rev[prv - lo]
+                    ):
+                        todo.append((prv, step))
+                        step = prv
+                        continue
+            if step == lo:
+                break
+            step -= 1
+        cuts.append(end)
+    cuts.sort(key=lambda s: _pos(g, p, s))
+    # unique by step
+    out = []
+    for s in cuts:
+        if not out or out[-1] != s:
+            out.append(s)
+    return out
+
+
+def merge_cuts(
+    g: GraphTensors, p: int, cuts: List[int], dist: int
+) -> List[int]:
+    """Drop cuts within `dist` bp of the previous kept cut and append the
+    end sentinel (reference: untangle.cpp:161-181)."""
+    merged: List[int] = []
+    last = 0
+    for s in cuts:
+        pos = _pos(g, p, s)
+        if pos == 0 or pos > last + dist:
+            merged.append(s)
+            last = pos
+    if cuts:
+        merged.append(int(g.path_offset[p + 1]))  # path_end sentinel
+    return merged
+
+
+class SegmentMap:
+    """Node -> target-segment multimap (reference: untangle.cpp:255-399)."""
+
+    def __init__(
+        self,
+        g: GraphTensors,
+        targets: Sequence[int],
+        is_cut: Callable[[int], bool],
+        merge_dist: int,
+    ):
+        self.g = g
+        # 0th segment is a sentinel (sign trick needs id > 0; :301-307)
+        self.segment_cut: List[int] = [-1]
+        self.segment_len: List[int] = [0]
+        self.segment_path: List[int] = [-1]
+        node_entries: List[Tuple[int, int]] = []
+        for p in targets:
+            si = PathSelfIndex(g, p)
+            cuts = merge_cuts(g, p, untangle_cuts(g, p, si, is_cut), merge_dist)
+            lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+            ci = 0
+            seg_idx = len(self.segment_cut)
+            for s in range(lo, hi):
+                if ci < len(cuts) and s == cuts[ci]:
+                    seg_idx = len(self.segment_cut)
+                    self.segment_cut.append(s)
+                    self.segment_len.append(0)
+                    self.segment_path.append(p)
+                    ci += 1
+                h = int(g.step_handle[s])
+                rank, rev = h >> 1, h & 1
+                node_entries.append((rank, -seg_idx if rev else seg_idx))
+                self.segment_len[-1] += int(g.node_len[rank])
+        node_entries.sort()
+        n = g.num_nodes
+        self.node_idx = np.zeros(n + 1, dtype=np.int64)
+        self.segments = np.zeros(len(node_entries), dtype=np.int64)
+        for i, (rank, seg) in enumerate(node_entries):
+            self.segments[i] = seg
+        counts = np.bincount(
+            [r for r, _ in node_entries], minlength=n
+        )
+        np.cumsum(counts, out=self.node_idx[1:])
+
+    def segments_on_node(self, rank: int):
+        a, b = self.node_idx[rank], self.node_idx[rank + 1]
+        for j in self.segments[a:b]:
+            yield abs(int(j)), j < 0
+
+    def get_matches(
+        self, begin: int, end: int, query_length: int, query_path: int
+    ) -> List[Tuple[int, bool, bool, float]]:
+        """[(segment_id, self_map, is_inv, jaccard)] sorted best-first
+        (reference: untangle.cpp:413-480): occurrence-index-matched bp
+        intersection over union."""
+        g = self.g
+        isec_len: Dict[int, int] = {}
+        isec_inv: Dict[int, int] = {}
+        query_seen: Dict[int, int] = {}
+        for s in range(begin, end):
+            h = int(g.step_handle[s])
+            rank, is_rev = h >> 1, bool(h & 1)
+            node_len = int(g.node_len[rank])
+            qi = query_seen.get(rank, 0)
+            query_seen[rank] = qi + 1
+            target_seen: Dict[int, int] = {}
+            for seg_id, seg_rev in self.segments_on_node(rank):
+                ti = target_seen.get(seg_id, 0)
+                target_seen[seg_id] = ti + 1
+                if qi == ti:
+                    isec_len[seg_id] = isec_len.get(seg_id, 0) + node_len
+                    if is_rev != seg_rev:
+                        isec_inv[seg_id] = isec_inv.get(seg_id, 0) + node_len
+        out = []
+        for seg_id, isec in isec_len.items():
+            seg_path = self.segment_path[seg_id]
+            is_inv = isec_inv.get(seg_id, 0) / isec > 0.5
+            jac = isec / (self.segment_len[seg_id] + query_length - isec)
+            out.append((seg_id, seg_path == query_path, is_inv, jac))
+        out.sort(key=lambda t: (t[3], t[1], t[2], t[0]), reverse=True)
+        return out
+
+
+def self_mean_coverage(
+    g: GraphTensors, si: PathSelfIndex, begin: int, end: int
+) -> float:
+    """Mean per-bp same-path step multiplicity over [begin, end)
+    (reference: untangle.cpp:585-605)."""
+    total = 0
+    bp = 0
+    for s in range(begin, end):
+        rank = int(g.step_handle[s]) >> 1
+        ln = int(g.node_len[rank])
+        bp += ln
+        total += ln * si.n_steps_on_node(rank)
+    return total / bp if bp else 0.0
+
+
+def untangle(
+    g: GraphTensors,
+    queries: Sequence[int],
+    targets: Sequence[int],
+    merge_dist: int = 0,
+    max_self_coverage: float = 0.0,
+    n_best: int = 1,
+    min_jaccard: float = 0.0,
+    fmt: str = "bedpe",
+    out: Optional[TextIO] = None,
+) -> List[tuple]:
+    """Full untangle driver (reference: untangle.cpp:703-1015): establish
+    cut nodes from the self-linearity of all involved paths, segment the
+    targets, then map each query segment to its best target segments.
+
+    Returns the BEDPE rows as tuples; writes formatted text if `out`.
+    """
+    paths = sorted(set(list(queries) + list(targets)))
+    cut_nodes = np.zeros(g.num_nodes, dtype=bool)
+    target_nodes = np.zeros(g.num_nodes, dtype=bool)
+    for t in targets:
+        lo, hi = int(g.path_offset[t]), int(g.path_offset[t + 1])
+        target_nodes[handle_rank(g.step_handle[lo:hi])] = True
+    for p in paths:
+        si = PathSelfIndex(g, p)
+        cuts = merge_cuts(
+            g, p, untangle_cuts(g, p, si, lambda r: False), merge_dist
+        )
+        for s in cuts:
+            if s < int(g.path_offset[p + 1]):
+                cut_nodes[int(g.step_handle[s]) >> 1] = True
+        # first/last touch of target nodes (untangle.cpp:786-795)
+        lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+        for s in range(lo, hi):
+            r = int(g.step_handle[s]) >> 1
+            if target_nodes[r]:
+                cut_nodes[r] = True
+                break
+        for s in range(hi - 1, lo - 1, -1):
+            r = int(g.step_handle[s]) >> 1
+            if target_nodes[r]:
+                cut_nodes[r] = True
+                break
+
+    seg_map = SegmentMap(g, targets, lambda r: cut_nodes[r], merge_dist)
+
+    rows = []
+    if out is not None and fmt == "bedpe":
+        out.write(
+            "#query.name\tquery.start\tquery.end\tref.name\tref.start\t"
+            "ref.end\tscore\tinv\tself.cov\tnth.best\n"
+        )
+    for q in queries:
+        si = PathSelfIndex(g, q)
+        cuts = merge_cuts(
+            g, q, untangle_cuts(g, q, si, lambda r: cut_nodes[r]), merge_dist
+        )
+        for i in range(len(cuts) - 1):
+            begin, end = cuts[i], cuts[i + 1]
+            begin_pos = _pos(g, q, begin)
+            end_pos = _pos(g, q, end)
+            length = end_pos - begin_pos
+            sc = self_mean_coverage(g, si, begin, min(end, int(g.path_offset[q + 1])))
+            if max_self_coverage and sc > max_self_coverage:
+                continue
+            matches = seg_map.get_matches(
+                begin, min(end, int(g.path_offset[q + 1])), length, q
+            )
+            for nth, (seg_id, self_map, is_inv, jac) in enumerate(
+                matches[:n_best], start=1
+            ):
+                if jac < min_jaccard:
+                    continue
+                t_path = seg_map.segment_path[seg_id]
+                t_begin = _pos(g, t_path, seg_map.segment_cut[seg_id])
+                t_end = t_begin + seg_map.segment_len[seg_id]
+                row = (
+                    g.path_names[q], begin_pos, end_pos,
+                    g.path_names[t_path], t_begin, t_end,
+                    jac, "-" if is_inv else "+", sc, nth,
+                )
+                rows.append(row)
+                if out is not None and fmt == "bedpe":
+                    out.write(
+                        f"{row[0]}\t{row[1]}\t{row[2]}\t{row[3]}\t{row[4]}\t"
+                        f"{row[5]}\t{row[6]:.6g}\t{row[7]}\t{row[8]:.6g}\t{row[9]}\n"
+                    )
+    return rows

@@ -1,0 +1,521 @@
+"""CLI handlers for the analytics / edit / mapping subcommands.
+
+Second batch of the subcommand layer (see main.py): depth, degree, viz,
+draw, chop, unchop, flip, prune, explode, squeeze, flatten, kmers, matrix,
+similarity, tension, heaps, pav, untangle, position, panpos, extract,
+overlap, normalize.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def cmd_depth(args):
+    from .main import load_any
+    from ..algorithms.coverage import (
+        depth_histogram,
+        node_depth,
+        node_depth_unique,
+        path_windows_bed,
+    )
+
+    g = load_any(args.input)
+    d = node_depth_unique(g) if args.unique else node_depth(g)
+    if args.window_bp:
+        print("#path\tstart\tend\tmean.depth")
+        for name, s, e, v in path_windows_bed(g, d, args.window_bp):
+            print(f"{name}\t{s}\t{e}\t{v:.6g}")
+    elif args.summarize:
+        vals, counts = depth_histogram(d)
+        print("#depth\tnodes")
+        for v, c in zip(vals, counts):
+            print(f"{int(v)}\t{int(c)}")
+    else:
+        print("#node.id\tdepth\tdepth.uniq")
+        du = node_depth_unique(g)
+        dd = node_depth(g)
+        for r in range(g.num_nodes):
+            print(f"{int(g.node_id[r])}\t{int(dd[r])}\t{int(du[r])}")
+    return 0
+
+
+def cmd_degree(args):
+    from .main import load_any
+    from ..algorithms.coverage import node_degree, path_windows_bed
+
+    g = load_any(args.input)
+    ind, outd = node_degree(g)
+    if args.window_bp:
+        print("#path\tstart\tend\tmean.degree")
+        for name, s, e, v in path_windows_bed(g, ind + outd, args.window_bp):
+            print(f"{name}\t{s}\t{e}\t{v:.6g}")
+    elif args.summarize:
+        tot = ind + outd
+        print("#node.count\tedge.count\tavg.degree\tmin.degree\tmax.degree")
+        print(
+            f"{g.num_nodes}\t{g.num_edges}\t"
+            f"{tot.mean():.6g}\t{int(tot.min())}\t{int(tot.max())}"
+        )
+    else:
+        print("#node.id\tdegree")
+        for r in range(g.num_nodes):
+            print(f"{int(g.node_id[r])}\t{int(ind[r] + outd[r])}")
+    return 0
+
+
+def cmd_viz(args):
+    from .main import load_any
+    from ..algorithms.viz import save_viz_png
+
+    g = load_any(args.input)
+    save_viz_png(
+        g,
+        args.out,
+        width=args.width,
+        path_height=args.path_height,
+        color_by=args.color_by,
+    )
+    return 0
+
+
+def cmd_draw(args):
+    from .main import load_any
+    from ..algorithms.draw import draw_png
+    from ..io.lay import load_layout
+
+    g = load_any(args.input)
+    coords = load_layout(args.coords_in)
+    draw_png(
+        g, coords, args.png, width=args.width, color_by=args.color_by
+    )
+    return 0
+
+
+def cmd_chop(args):
+    from .main import load_any, _out_graph
+    from ..algorithms.chop import chop
+
+    g = load_any(args.input)
+    _out_graph(chop(g, args.chop_to), args.out)
+    return 0
+
+
+def cmd_unchop(args):
+    from .main import load_any, _out_graph
+    from ..algorithms.unchop import unchop
+
+    g = load_any(args.input)
+    _out_graph(unchop(g), args.out)
+    return 0
+
+
+def cmd_normalize(args):
+    from .main import load_any, _out_graph
+    from ..algorithms.unchop import unchop
+
+    g = load_any(args.input)
+    for _ in range(args.max_iterations):
+        g2 = unchop(g)
+        if g2.num_nodes == g.num_nodes:
+            break
+        g = g2
+    _out_graph(g, args.out)
+    return 0
+
+
+def cmd_flip(args):
+    from .main import load_any, _out_graph
+    from ..algorithms.transforms import flip_paths
+
+    g = load_any(args.input)
+    _out_graph(flip_paths(g), args.out)
+    return 0
+
+
+def cmd_prune(args):
+    from .main import load_any, _out_graph
+    from ..algorithms.transforms import (
+        cut_tips,
+        prune_high_degree,
+        prune_low_depth,
+    )
+
+    g = load_any(args.input)
+    if args.max_degree:
+        g = prune_high_degree(g, args.max_degree)
+    if args.min_depth:
+        g = prune_low_depth(g, args.min_depth)
+    if args.cut_tips:
+        g = cut_tips(g)
+    _out_graph(g, args.out)
+    return 0
+
+
+def cmd_explode(args):
+    from .main import load_any, _out_graph
+    from ..algorithms.transforms import explode
+
+    g = load_any(args.input)
+    for i, part in enumerate(explode(g)):
+        _out_graph(part, f"{args.prefix}{i}.otg")
+    return 0
+
+
+def cmd_squeeze(args):
+    from .main import load_any, _out_graph
+    from ..algorithms.transforms import squeeze
+
+    graphs = [load_any(p) for p in args.input_list]
+    _out_graph(squeeze(graphs), args.out)
+    return 0
+
+
+def cmd_flatten(args):
+    from .main import load_any
+    from ..algorithms.paths_cmd import flatten
+
+    g = load_any(args.input)
+    with open(args.fasta, "w") as fa, open(args.bed, "w") as bed:
+        flatten(g, fa, bed, name=args.name)
+    return 0
+
+
+def cmd_kmers(args):
+    from .main import load_any
+    from ..algorithms.analytics import write_kmers
+
+    g = load_any(args.input)
+    write_kmers(g, args.kmer_length, sys.stdout)
+    return 0
+
+
+def cmd_matrix(args):
+    from .main import load_any
+    from ..algorithms.analytics import write_matrix
+
+    g = load_any(args.input)
+    write_matrix(g, sys.stdout, weight_by_paths=args.weight_by_paths)
+    return 0
+
+
+def cmd_similarity(args):
+    from .main import load_any
+    from ..algorithms.paths_cmd import path_jaccard_matrix
+
+    g = load_any(args.input)
+    jac = path_jaccard_matrix(g)
+    print("group.a\tgroup.b\tjaccard")
+    for a in range(g.num_paths):
+        for b in range(g.num_paths):
+            if jac[a, b] > 0:
+                print(f"{g.path_names[a]}\t{g.path_names[b]}\t{jac[a, b]:.6g}")
+    return 0
+
+
+def cmd_tension(args):
+    from .main import load_any
+    from ..algorithms.analytics import node_tension
+    from ..io.lay import load_layout
+
+    g = load_any(args.input)
+    coords = load_layout(args.coords_in)
+    t = node_tension(g, coords)
+    print("#node.id\ttension")
+    for r in range(g.num_nodes):
+        print(f"{int(g.node_id[r])}\t{t[r]:.6g}")
+    return 0
+
+
+def cmd_heaps(args):
+    from .main import load_any
+    from ..algorithms.analytics import heaps_permutations
+
+    g = load_any(args.input)
+    curves = heaps_permutations(
+        g, n_permutations=args.permutations, group_delim=args.delim
+    )
+    print("#permutation\tnth.genome\tbase.pairs")
+    for t in range(curves.shape[0]):
+        for k in range(curves.shape[1]):
+            print(f"{t + 1}\t{k + 1}\t{int(curves[t, k])}")
+    return 0
+
+
+def cmd_pav(args):
+    from .main import load_any
+    from ..algorithms.analytics import pav_table
+    from ..algorithms.extract import read_bed
+    from ..algorithms.position import path_index
+
+    g = load_any(args.input)
+    rows = read_bed(args.bed)
+    first = True
+    for name, s, e in rows:
+        p = path_index(g, name)
+        cols, tab = pav_table(g, p, [(s, e)], group_delim=args.delim)
+        if first:
+            print("#chrom\tstart\tend\t" + "\t".join(cols))
+            first = False
+        vals = "\t".join(f"{v:.6g}" for v in tab[0])
+        print(f"{name}\t{s}\t{e}\t{vals}")
+    return 0
+
+
+def cmd_untangle(args):
+    from .main import load_any
+    from ..algorithms.position import path_index
+    from ..algorithms.untangle import untangle
+
+    g = load_any(args.input)
+    if args.query:
+        queries = [path_index(g, q) for q in args.query]
+    else:
+        queries = list(range(g.num_paths))
+    if args.target:
+        targets = [path_index(g, t) for t in args.target]
+    else:
+        targets = list(range(g.num_paths))
+    untangle(
+        g,
+        queries,
+        targets,
+        merge_dist=args.merge_dist,
+        n_best=args.n_best,
+        min_jaccard=args.min_jaccard,
+        out=sys.stdout,
+    )
+    return 0
+
+
+def cmd_panpos(args):
+    from .main import load_any
+    from ..algorithms.position import panpos
+
+    g = load_any(args.input)
+    print(panpos(g, args.path, args.pos))
+    return 0
+
+
+def cmd_position(args):
+    from .main import load_any
+    from ..algorithms.position import lift_position, path_index
+
+    g = load_any(args.input)
+    src, pos = args.graph_pos.rsplit(",", 1)
+    src_p = path_index(g, src)
+    dst = [path_index(g, r) for r in args.ref_paths]
+    res = lift_position(g, src_p, int(pos), dst, args.search_radius)
+    print("#source.path\tsource.pos\ttarget.path\ttarget.pos\tstrand\twalked")
+    if res is None:
+        print(f"{src}\t{pos}\t-\t-\t-\t-")
+    else:
+        p, tp, rev, walked = res
+        print(
+            f"{src}\t{pos}\t{g.path_names[p]}\t{tp}\t{'-' if rev else '+'}\t{walked}"
+        )
+    return 0
+
+
+def cmd_extract(args):
+    from .main import load_any, _out_graph
+    from ..algorithms.extract import extract_bed, extract_path_range, read_bed
+
+    g = load_any(args.input)
+    if args.bed:
+        sub = extract_bed(
+            g,
+            read_bed(args.bed),
+            context_steps=args.context_steps,
+            context_bp=0,
+        )
+    elif args.path_range:
+        name, rng = args.path_range.rsplit(":", 1)
+        start, end = rng.split("-")
+        sub = extract_path_range(
+            g,
+            name,
+            int(start),
+            int(end),
+            full_range=args.full_range,
+            context_steps=args.context_steps,
+        )
+    else:
+        print("error: need -r path:start-end or -b BED", file=sys.stderr)
+        return 1
+    _out_graph(sub, args.out)
+    return 0
+
+
+def cmd_overlap(args):
+    from .main import load_any
+    from ..algorithms.extract import nodes_in_path_range, read_bed
+    from ..algorithms.position import path_index
+    from ..core.graph import handle_rank
+
+    g = load_any(args.input)
+    rows = read_bed(args.bed)
+    print("#path\tstart\tend\tpath.touched")
+    ranks_of_path = {}
+    for name, s, e in rows:
+        p = path_index(g, name)
+        sel = nodes_in_path_range(g, p, s, e)
+        mask = np.zeros(g.num_nodes, dtype=bool)
+        mask[sel] = True
+        touched = np.unique(
+            g.step_path[mask[handle_rank(g.step_handle)]]
+        )
+        for t in touched:
+            print(f"{name}\t{s}\t{e}\t{g.path_names[int(t)]}")
+    return 0
+
+
+def register(sub):
+    """Attach this batch of subcommands to the argparse subparsers."""
+    p = sub.add_parser("depth", help="node/path depth")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-w", "--window-bp", type=int, default=0)
+    p.add_argument("-u", "--unique", action="store_true")
+    p.add_argument("-S", "--summarize", action="store_true")
+    p.set_defaults(fn=cmd_depth)
+
+    p = sub.add_parser("degree", help="node degree")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-w", "--window-bp", type=int, default=0)
+    p.add_argument("-S", "--summarize", action="store_true")
+    p.set_defaults(fn=cmd_degree)
+
+    p = sub.add_parser("viz", help="1D raster PNG")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-x", "--width", type=int, default=1500)
+    p.add_argument("-y", "--path-height", type=int, default=10)
+    p.add_argument(
+        "-c", "--color-by", default="path",
+        choices=["path", "strand", "depth", "gray"],
+    )
+    p.set_defaults(fn=cmd_viz)
+
+    p = sub.add_parser("draw", help="2D layout PNG")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-c", "--coords-in", required=True)
+    p.add_argument("-p", "--png", required=True)
+    p.add_argument("-w", "--width", type=int, default=1000)
+    p.add_argument("-C", "--color-by", default="node", choices=["node", "path"])
+    p.set_defaults(fn=cmd_draw)
+
+    p = sub.add_parser("chop", help="chop nodes to max length")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-c", "--chop-to", type=int, required=True)
+    p.set_defaults(fn=cmd_chop)
+
+    p = sub.add_parser("unchop", help="merge perfect-neighbor chains")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.set_defaults(fn=cmd_unchop)
+
+    p = sub.add_parser("normalize", help="iterative unchop")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-I", "--max-iterations", type=int, default=10)
+    p.set_defaults(fn=cmd_normalize)
+
+    p = sub.add_parser("flip", help="flip paths to dominant strand")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.set_defaults(fn=cmd_flip)
+
+    p = sub.add_parser("prune", help="remove nodes by degree/coverage")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-d", "--max-degree", type=int, default=0)
+    p.add_argument("-c", "--min-depth", type=int, default=0)
+    p.add_argument("-T", "--cut-tips", action="store_true")
+    p.set_defaults(fn=cmd_prune)
+
+    p = sub.add_parser("explode", help="one file per component")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-p", "--prefix", default="component.")
+    p.set_defaults(fn=cmd_explode)
+
+    p = sub.add_parser("squeeze", help="concatenate graphs")
+    p.add_argument("-f", "--input-list", nargs="+", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.set_defaults(fn=cmd_squeeze)
+
+    p = sub.add_parser("flatten", help="linearize to FASTA + BED")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-f", "--fasta", required=True)
+    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("-n", "--name", default="flattened")
+    p.set_defaults(fn=cmd_flatten)
+
+    p = sub.add_parser("kmers", help="enumerate path kmers")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-k", "--kmer-length", type=int, required=True)
+    p.set_defaults(fn=cmd_kmers)
+
+    p = sub.add_parser("matrix", help="sparse adjacency output")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-w", "--weight-by-paths", action="store_true")
+    p.set_defaults(fn=cmd_matrix)
+
+    p = sub.add_parser("similarity", help="path x path jaccard")
+    p.add_argument("-i", "--input", required=True)
+    p.set_defaults(fn=cmd_similarity)
+
+    p = sub.add_parser("tension", help="layout-vs-path tension")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-c", "--coords-in", required=True)
+    p.set_defaults(fn=cmd_tension)
+
+    p = sub.add_parser("heaps", help="pangenome growth curves")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-n", "--permutations", type=int, default=100)
+    p.add_argument("-D", "--delim", default=None)
+    p.set_defaults(fn=cmd_heaps)
+
+    p = sub.add_parser("pav", help="presence/absence over BED")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("-D", "--delim", default=None)
+    p.set_defaults(fn=cmd_pav)
+
+    p = sub.add_parser("untangle", help="query-vs-target segmentation")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-q", "--query", action="append", default=None)
+    p.add_argument("-r", "--target", action="append", default=None)
+    p.add_argument("-m", "--merge-dist", type=int, default=0)
+    p.add_argument("-n", "--n-best", type=int, default=1)
+    p.add_argument("-j", "--min-jaccard", type=float, default=0.0)
+    p.set_defaults(fn=cmd_untangle)
+
+    p = sub.add_parser("panpos", help="pangenome position of path:pos")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-p", "--path", required=True)
+    p.add_argument("-v", "--pos", type=int, required=True)
+    p.set_defaults(fn=cmd_panpos)
+
+    p = sub.add_parser("position", help="position lift between paths")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-p", "--graph-pos", required=True, help="path,pos")
+    p.add_argument("-r", "--ref-paths", nargs="+", required=True)
+    p.add_argument("-d", "--search-radius", type=int, default=10000)
+    p.set_defaults(fn=cmd_position)
+
+    p = sub.add_parser("extract", help="extract subgraph")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-r", "--path-range", default=None)
+    p.add_argument("-b", "--bed", default=None)
+    p.add_argument("-E", "--full-range", action="store_true")
+    p.add_argument("-c", "--context-steps", type=int, default=0)
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("overlap", help="paths overlapping BED ranges")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-b", "--bed", required=True)
+    p.set_defaults(fn=cmd_overlap)

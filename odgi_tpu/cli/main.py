@@ -204,15 +204,18 @@ def cmd_paths(args):
                 f"{g.path_names[p]}\t{int(g.path_length[p])}\t{int(g.path_step_count[p])}"
             )
     if args.fasta:
-        for p in range(g.num_paths):
-            lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
-            seq = b"".join(
-                g.node_seq(int(h) >> 1, bool(h & 1))
-                for h in g.step_handle[lo:hi]
-            )
-            sys.stdout.write(f">{g.path_names[p]}\n")
-            for i in range(0, len(seq), 80):
-                sys.stdout.write(seq[i : i + 80].decode() + "\n")
+        from ..algorithms.paths_cmd import write_fasta
+
+        write_fasta(g, sys.stdout)
+    if args.haplotypes:
+        from ..algorithms.paths_cmd import write_haplotype_matrix
+
+        write_haplotype_matrix(
+            g,
+            sys.stdout,
+            scale_by_length=args.scale_by_node_length,
+            group_delim=args.delim,
+        )
     return 0
 
 
@@ -273,8 +276,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-L", "--list", action="store_true")
     p.add_argument("-l", "--lengths", action="store_true")
     p.add_argument("-f", "--fasta", action="store_true")
+    p.add_argument("-H", "--haplotypes", action="store_true")
+    p.add_argument("-D", "--delim", default=None)
+    p.add_argument("-s", "--scale-by-node-length", action="store_true")
     p.set_defaults(fn=cmd_paths)
 
+    from .commands2 import register as register2
+
+    register2(sub)
     return ap
 
 
