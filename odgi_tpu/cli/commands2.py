@@ -291,6 +291,16 @@ def cmd_untangle(args):
 
 
 def cmd_panpos(args):
+    from ..core.index import PathIndex, XPT_MAGIC
+
+    with open(args.input, "rb") as f:
+        head = f.read(8)
+    if head == XPT_MAGIC:
+        # .xpt positional index input (role of .xp in the reference,
+        # src/subcommand/panpos_main.cpp)
+        idx = PathIndex.load(args.input)
+        print(idx.get_pangenome_pos(args.path, args.pos))
+        return 0
     from .main import load_any
     from ..algorithms.position import panpos
 

@@ -282,8 +282,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_paths)
 
     from .commands2 import register as register2
+    from .commands3 import register as register3
 
     register2(sub)
+    register3(sub)
     return ap
 
 
