@@ -17,8 +17,10 @@ import numpy as np
 
 
 def load_any(path: str):
-    """Sniff .otg vs GFA and load (reference: src/utils.cpp:103-120)."""
+    """Sniff .otg vs reference .og vs GFA and load
+    (reference: src/utils.cpp:103-120)."""
     from ..io.og import MAGIC, load_graph
+    from ..io.og_compat import OG_MAGIC_BE, load_og
     from ..io.gfa import parse_gfa
 
     if path == "-":
@@ -27,15 +29,22 @@ def load_any(path: str):
         head = f.read(8)
     if head == MAGIC:
         return load_graph(path)
+    if head[:4] == OG_MAGIC_BE:
+        return load_og(path)
     return parse_gfa(path)
 
 
 def _out_graph(g, path: str):
+    """Write by extension: .gfa text, .og reference-compatible binary,
+    anything else the native .otg container."""
     from ..io.og import save_graph
+    from ..io.og_compat import save_og
     from ..io.gfa import write_gfa
 
     if path.endswith(".gfa"):
         write_gfa(g, path)
+    elif path.endswith(".og"):
+        save_og(g, path)
     else:
         save_graph(g, path)
 
