@@ -28,6 +28,11 @@ def parse_gfa(source: Union[str, TextIO, bytes]) -> GraphTensors:
     if isinstance(source, bytes):
         lines = source.splitlines()
     elif isinstance(source, str):
+        from ..native import parse_gfa_native
+
+        g = parse_gfa_native(source)
+        if g is not None:
+            return g
         with open(source, "rb") as f:
             data = f.read()
         lines = data.splitlines()
