@@ -43,26 +43,171 @@ def cmd_depth(args):
 
 
 def cmd_degree(args):
+    """Full-parity `odgi degree` (reference: src/subcommand/degree_main.cpp;
+    golden outputs: test/binary/degree/* via scripts/degree.sh)."""
+    import numpy as np
+
     from .main import load_any
-    from ..algorithms.coverage import node_degree, path_windows_bed
+    from ..algorithms import degree as degalg
+    from .region import (
+        add_bed_range,
+        fmt_double,
+        get_graph_pos_of_path_pos,
+        load_subset_paths,
+        parse_graph_pos,
+        parse_path_pos,
+        parse_windows_spec,
+    )
+
+    if args.windows_in and args.windows_out:
+        print(
+            "[odgi::degree] error: please specify -w/--windows-in or "
+            "-W/--windows-out, not both.",
+            file=sys.stderr,
+        )
+        return 1
+    if args.summarize and (args.windows_in or args.windows_out):
+        print(
+            "[odgi::degree] error: please specify -S/--summarize without "
+            "specifying windows-in or -W/--windows-out.",
+            file=sys.stderr,
+        )
+        return 1
+    win = None
+    if args.windows_in:
+        win = parse_windows_spec(args.windows_in, "degree", "-w/--windows-in")
+    if args.windows_out:
+        win = parse_windows_spec(args.windows_out, "degree", "-W/--windows-out")
 
     g = load_any(args.input)
-    ind, outd = node_degree(g)
-    if args.window_bp:
-        print("#path\tstart\tend\tmean.degree")
-        for name, s, e, v in path_windows_bed(g, ind + outd, args.window_bp):
-            print(f"{name}\t{s}\t{e}\t{v:.6g}")
-    elif args.summarize:
-        tot = ind + outd
+    paths_mask = (
+        load_subset_paths(g, args.subset_paths, "degree")
+        if args.subset_paths
+        else np.ones(g.num_paths, dtype=bool)
+    )
+    deg = degalg.node_total_degree(g)
+    in_deg, out_deg = degalg.node_degree_sides(g)
+    eff_deg = degalg.effective_degree(g, paths_mask)
+
+    graph_positions = []
+    path_positions = []
+    path_ranges = []
+
+    if args.summarize:
+        pass
+    elif args.graph_degree_table:
+        for r in range(g.num_nodes):
+            graph_positions.append(parse_graph_pos(g, str(int(g.node_id[r])), "degree"))
+    elif args.graph_degree_vec:
+        out = [f"{args.input}_vec"]
+        for r in range(g.num_nodes):
+            out.append(f" {int(eff_deg[r])}" * int(g.node_len[r]))
+        sys.stdout.write("".join(out) + "\n")
+        return 0
+    elif args.path_degree or args.self_degree:
+        from ..core.graph import handle_rank
+
+        self_counts = degalg.node_self_step_count(g) if args.self_degree else None
+        for p in range(g.num_paths):
+            if not paths_mask[p]:
+                continue
+            lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+            ranks = handle_rank(g.step_handle[lo:hi])
+            lens = g.node_len[ranks]
+            vals = deg[ranks]
+            if args.self_degree:
+                vals = vals * self_counts[lo:hi]
+            parts = [g.path_names[p]]
+            for v, ln in zip(vals, lens):
+                parts.append(f" {int(v)}" * int(ln))
+            sys.stdout.write("".join(parts) + "\n")
+        return 0
+    elif args.graph_pos:
+        graph_positions.append(parse_graph_pos(g, args.graph_pos, "degree"))
+    elif args.graph_pos_file:
+        with open(args.graph_pos_file) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    graph_positions.append(parse_graph_pos(g, line, "degree"))
+    elif args.path_pos:
+        pp = parse_path_pos(g, args.path_pos, "degree")
+        if pp:
+            path_positions.append(pp)
+    elif args.path_pos_file:
+        with open(args.path_pos_file) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    pp = parse_path_pos(g, line, "degree")
+                    if pp:
+                        path_positions.append(pp)
+    elif args.bed_input:
+        with open(args.bed_input) as f:
+            for line in f:
+                add_bed_range(path_ranges, g, line.rstrip("\n"))
+    elif args.path:
+        add_bed_range(path_ranges, g, args.path)
+    elif args.paths:
+        with open(args.paths) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    add_bed_range(path_ranges, g, line)
+    elif win is None:
+        for p in range(g.num_paths):
+            add_bed_range(path_ranges, g, g.path_names[p])
+
+    if win is not None:
+        merge_len, wmin, wmax = win
+        if args.windows_in:
+            in_bounds = (deg >= wmin) & (deg <= wmax)
+        else:
+            in_bounds = (deg < wmin) | (deg > wmax)
+        print("#path\tstart\tend")
+        for p, s, e in degalg.windows_in_out(g, range(g.num_paths), in_bounds, merge_len):
+            print(f"{g.path_names[p]}\t{s}\t{e}")
+
+    if args.summarize:
+        total = int(deg.sum())
         print("#node.count\tedge.count\tavg.degree\tmin.degree\tmax.degree")
         print(
-            f"{g.num_nodes}\t{g.num_edges}\t"
-            f"{tot.mean():.6g}\t{int(tot.min())}\t{int(tot.max())}"
+            f"{g.num_nodes}\t{total // 2}\t"
+            f"{fmt_double(total / g.num_nodes)}\t{int(deg.min())}\t{int(deg.max())}"
         )
-    else:
-        print("#node.id\tdegree")
-        for r in range(g.num_nodes):
-            print(f"{int(g.node_id[r])}\t{int(ind[r] + outd[r])}")
+
+    if graph_positions:
+        hdr = "#node.id\tnode.degree"
+        if args.in_out_degree:
+            hdr += "\tnode.in.degree\tnode.out.degree"
+        print(hdr)
+        for gp in graph_positions:
+            r = g.id_to_rank[gp.node_id]
+            line = f"{gp.node_id}\t{int(deg[r])}"
+            if args.in_out_degree:
+                line += f"\t{int(in_deg[r])}\t{int(out_deg[r])}"
+            print(line)
+
+    if path_positions:
+        uniq = degalg.node_unique_path_count(g, paths_mask)
+        print("#path.position\tdegree\tdegree.uniq")
+        for pp in path_positions:
+            gp = get_graph_pos_of_path_pos(g, pp, "degree")
+            r = g.id_to_rank.get(gp.node_id)
+            d, u = (int(eff_deg[r]), int(uniq[r])) if r is not None else (0, 0)
+            print(
+                f"{g.path_names[pp.path]},{pp.offset},"
+                f"{'-' if pp.is_rev else '+'}\t{d}\t{u}"
+            )
+
+    if path_ranges:
+        path_ranges.sort(key=lambda r: (r.path, r.start, r.end, r.is_rev))
+        means = degalg.path_range_means(g, eff_deg, path_ranges)
+        print("#path\tstart\tend\tmean.degree")
+        for r, m in zip(path_ranges, means):
+            print(
+                f"{g.path_names[r.path]}\t{r.start}\t{r.end}\t{fmt_double(m)}"
+            )
     return 0
 
 
@@ -393,8 +538,26 @@ def register(sub):
 
     p = sub.add_parser("degree", help="node degree")
     p.add_argument("-i", "--input", required=True)
-    p.add_argument("-w", "--window-bp", type=int, default=0)
-    p.add_argument("-S", "--summarize", action="store_true")
+    p.add_argument("-s", "--subset-paths")
+    p.add_argument("-r", "--path")
+    p.add_argument("-R", "--paths")
+    p.add_argument("-g", "--graph-pos")
+    p.add_argument("-G", "--graph-pos-file")
+    p.add_argument("-p", "--path-pos")
+    p.add_argument("-F", "--path-pos-file")
+    p.add_argument("-b", "--bed-input")
+    p.add_argument("-d", "--graph-degree-table", action="store_true")
+    p.add_argument("-v", "--graph-degree-vec", action="store_true")
+    p.add_argument("-D", "--path-degree", action="store_true")
+    p.add_argument("-a", "--self-degree", action="store_true")
+    p.add_argument("--in-out-degree", action="store_true")
+    p.add_argument(
+        "-S", "--summarize-graph-degree", dest="summarize", action="store_true"
+    )
+    p.add_argument("-w", "--windows-in")
+    p.add_argument("-W", "--windows-out")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_degree)
 
     p = sub.add_parser("viz", help="1D raster PNG")
