@@ -455,22 +455,444 @@ def cmd_panpos(args):
 
 
 def cmd_position(args):
-    from .main import load_any
-    from ..algorithms.position import lift_position, path_index
+    """Full-parity `odgi position` (reference:
+    src/subcommand/position_main.cpp; goldens: test/binary/position/* via
+    scripts/position.sh).  Lifting between graphs (-x) included."""
+    import hashlib
 
-    g = load_any(args.input)
-    src, pos = args.graph_pos.rsplit(",", 1)
-    src_p = path_index(g, src)
-    dst = [path_index(g, r) for r in args.ref_paths]
-    res = lift_position(g, src_p, int(pos), dst, args.search_radius)
-    print("#source.path\tsource.pos\ttarget.path\ttarget.pos\tstrand\twalked")
-    if res is None:
-        print(f"{src}\t{pos}\t-\t-\t-\t-")
+    import numpy as np
+
+    from .main import load_any
+    from ..algorithms import liftover as lift
+    from .region import PathRange, add_bed_range, path_index_by_name
+
+    target = load_any(args.input)
+    lifting = bool(args.source)
+    source = load_any(args.source) if lifting else None
+
+    # reference paths (in the target graph)
+    ref_paths = []
+    if args.ref_path:
+        p = path_index_by_name(target, args.ref_path)
+        if p is None:
+            print(
+                f"[odgi::position] error: ref path {args.ref_path} not found in graph",
+                file=sys.stderr,
+            )
+            return 1
+        ref_paths.append(p)
+    elif args.ref_paths:
+        with open(args.ref_paths) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                p = path_index_by_name(target, line)
+                if p is None:
+                    print(
+                        f"[odgi::position] error: ref path {line} not found in graph",
+                        file=sys.stderr,
+                    )
+                    return 1
+                ref_paths.append(p)
     else:
-        p, tp, rev, walked = res
+        ref_paths = list(range(target.num_paths))
+
+    if ref_paths and args.all_positions:
+        print("path\tnode_id\tposition")
+        from ..core.graph import handle_rank
+
+        for p in ref_paths:
+            lo, hi = int(target.path_offset[p]), int(target.path_offset[p + 1])
+            name = target.path_names[p]
+            ranks = handle_rank(target.step_handle[lo:hi])
+            for r, w in zip(ranks, target.step_pos[lo:hi]):
+                sys.stdout.write(f"{name}\t{int(target.node_id[r])}\t{int(w)}\n")
+
+    # subgraph-aware path name map for GFF lifting
+    # (position_main.cpp:163-196: 'name:start-end' subgraph paths)
+    path_start_end = {}
+    if args.gff_input:
+        import os
+
+        if not os.path.exists(args.gff_input):
+            print(
+                f'[odgi::position] error: the given file "{args.gff_input}" does '
+                "not exist. Please specify an existing GFF/GTF file -E=[FILE], "
+                "--gff-input=[FILE].",
+                file=sys.stderr,
+            )
+            return 1
+        for p in range(target.num_paths):
+            name = target.path_names[p]
+            vals = name.split(":")
+            if len(vals) > 1:
+                s, e = vals[1].split("-")
+                path_start_end[vals[0]] = (name, int(s), int(e))
+            else:
+                path_start_end[name] = (name, 0, int(target.path_length[p]) - 1)
+
+    # lift paths (common to source and target)
+    lift_src, lift_tgt = [], []
+    if (args.lift_path or args.lift_paths) and not lifting:
         print(
-            f"{src}\t{pos}\t{g.path_names[p]}\t{tp}\t{'-' if rev else '+'}\t{walked}"
+            "[odgi::position] error: lifting requires a separate source and "
+            "target graph, specify --source",
+            file=sys.stderr,
         )
+        return 1
+    if lifting:
+        names = []
+        if args.lift_path:
+            names = [args.lift_path]
+        elif args.lift_paths:
+            with open(args.lift_paths) as f:
+                names = [l.rstrip("\n") for l in f if l.rstrip("\n")]
+        else:
+            names = sorted(set(source.path_names) & set(target.path_names))
+        for n in names:
+            ps, pt = path_index_by_name(source, n), path_index_by_name(target, n)
+            if ps is None or pt is None:
+                print(
+                    f"[odgi::position] error: lift path {n} not found in both "
+                    "source and target graph",
+                    file=sys.stderr,
+                )
+                return 1
+            lift_src.append(ps)
+            lift_tgt.append(pt)
+        if not lift_src:
+            print(
+                "[odgi::position] error: no lift paths common to both target "
+                "and source, cannot proceed",
+                file=sys.stderr,
+            )
+            return 1
+
+    # collect query positions
+    graph_positions = []  # (node_id, is_rev, offset)
+    path_positions = []  # PathPos against source (if lifting) else target
+    path_ranges = []
+    in_graph = source if lifting else target
+
+    def add_graph_pos(gr, buffer):
+        vals = buffer.split(",")
+        nid = int(vals[0])
+        if nid not in gr.id_to_rank:
+            print(f"[odgi::position] error: no node {nid} in graph", file=sys.stderr)
+            sys.exit(1)
+        off = 0
+        if len(vals) >= 2:
+            off = int(vals[1])
+            if int(gr.node_len[gr.id_to_rank[nid]]) - 1 < off:
+                print(
+                    f"[odgi::position] error: offset of {off} lies beyond the "
+                    f"end of node {nid}",
+                    file=sys.stderr,
+                )
+                sys.exit(1)
+        rev = len(vals) == 3 and vals[2] == "-"
+        graph_positions.append((nid, rev, off))
+
+    def add_path_pos(gr, buffer):
+        if not buffer:
+            return
+        vals = buffer.split(",")
+        p = path_index_by_name(gr, vals[0])
+        if p is None:
+            print(
+                f"[odgi::position] error: ref path {vals[0]} not found in graph",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        path_positions.append(
+            (p, int(vals[1]) if len(vals) > 1 else 0, len(vals) == 3 and vals[2] == "-")
+        )
+
+    def add_gff_range(gr, buffer):
+        # position_main.cpp:324-416 add_gff_range (1-based GFF adjusted to
+        # the (sub)graph range)
+        if not buffer or buffer[0] == "#":
+            return
+        vals = buffer.split("\t")
+        name = vals[0]
+        if name not in path_start_end:
+            print(
+                f"[odgi::position] error: GFF/GTF path {name} not found in "
+                "path_start_end_pos_map!",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        long_name, gstart, gend = path_start_end[name]
+        start = int(vals[3]) if len(vals) > 2 else 0
+        end = int(vals[4]) if len(vals) > 3 else int(
+            gr.path_length[path_index_by_name(gr, name)]
+        )
+        if start > end:
+            print(
+                "[odgi::position::add_gff_range] error: wrong input coordinates "
+                f"in row: {buffer}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        if start >= gend or end <= gstart:
+            return
+        elif start <= gstart and end <= gend:
+            start, end = 0, end - gstart - 1
+        elif start >= gstart and end >= gend:
+            start, end = start - gstart - 1, gend - gstart - 1
+        elif start >= gstart and end <= gend:
+            start, end = start - gstart - 1, end - gstart - 1
+        elif start <= gstart and end >= gend:
+            start, end = 0, gend - gstart
+        else:
+            return
+        if start > end:
+            print(
+                "[odgi::position::add_gff_range] error: wrong input coordinates "
+                f"in row: {buffer}for detected start: {start} and end: {end}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        p = path_index_by_name(gr, long_name)
+        path_ranges.append(
+            PathRange(
+                p, start, end, len(vals) > 6 and vals[6] == "-", vals[8], vals[8]
+            )
+        )
+
+    if not args.gff_input:
+        if args.graph_pos:
+            add_graph_pos(in_graph, args.graph_pos)
+        elif args.graph_pos_file:
+            with open(args.graph_pos_file) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if line:
+                        add_graph_pos(in_graph, line)
+        elif args.path_pos:
+            add_path_pos(in_graph, args.path_pos)
+        elif args.path_pos_file:
+            with open(args.path_pos_file) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if line:
+                        add_path_pos(in_graph, line)
+        elif args.bed_input:
+            with open(args.bed_input) as f:
+                for line in f:
+                    add_bed_range(path_ranges, in_graph, line.rstrip("\n"))
+    else:
+        with open(args.gff_input) as f:
+            for line in f:
+                add_gff_range(target, line.rstrip("\n"))
+
+    search_radius = args.search_radius
+    walking_dist = args.jaccard_context
+
+    ref_set = set(ref_paths)
+    lift_src_set = set(lift_src)
+
+    tgt_ctx = lift.PositionContext(target)
+    src_ctx = lift.PositionContext(source) if lifting else None
+
+    def warn_no_hit(query):
+        print(
+            f"[odgi::position] warning: no reference position found for {query} "
+            "(increase -d/--walking-dist?)",
+            file=sys.stderr,
+        )
+
+    def lift_into_target(pos, step, jaccard):
+        """source pos -> target graph pos via lift paths (or identity)."""
+        res = lift.LiftResult()
+        if lift.get_position(
+            src_ctx, lift_src_set, pos, step, jaccard,
+            search_radius, walking_dist, res,
+        ):
+            name = source.path_names[int(source.step_path[res.ref_hit])]
+            tp = path_index_by_name(target, name)
+            return lift.get_graph_pos(tgt_ctx, tp, res.path_offset)
+        return (0, False, 0), -1
+
+    strand = lambda rev: "-" if rev else "+"
+
+    if graph_positions:
+        hdr = "#source.graph.pos\ttarget.graph.pos\t" if lifting else "#target.graph.pos\t"
+        if args.give_graph_pos:
+            hdr += "target.graph.pos"
+        elif args.all_immediate:
+            hdr += "target.path.pos\tdist.to.ref\tstrand.vs.ref"
+        elif args.ref_path or args.ref_paths:
+            hdr += "target.path.pos\tdist.to.ref\tstrand.vs.ref"
+        else:
+            hdr += "target.path.pos\tdist.to.path\tstrand.vs.ref"
+        print(hdr)
+    for _pos in graph_positions:
+        step = -1
+        if lifting:
+            pos, step = lift_into_target(_pos, -1, False)
+        else:
+            pos = _pos
+        prefix = f"{_pos[0]},{_pos[2]},{strand(_pos[1])}\t" if lifting else ""
+        if pos[0] and args.give_graph_pos:
+            print(
+                f"{prefix}{pos[0]},{pos[2]},{strand(pos[1])}\t"
+                f"\t{pos[0]},{pos[2]},{strand(pos[1])}"
+            )
+            continue
+        if args.all_immediate:
+            results = lift.get_immediate(tgt_ctx, ref_set, pos)
+            if results:
+                for res in results:
+                    p = int(target.step_path[res.ref_hit])
+                    print(
+                        f"{prefix}{pos[0]},{pos[2]},{strand(pos[1])}\t"
+                        f"{target.path_names[p]},{res.path_offset},+\t"
+                        f"{res.walked_to_hit_ref}\t{strand(res.is_rev_vs_ref)}"
+                    )
+                continue
+        res = lift.LiftResult()
+        if lift.get_position(
+            tgt_ctx, ref_set, pos, step, False, search_radius, walking_dist, res
+        ):
+            p = int(target.step_path[res.ref_hit])
+            print(
+                f"{prefix}{pos[0]},{pos[2]},{strand(pos[1])}\t"
+                f"{target.path_names[p]},{res.path_offset},+\t"
+                f"{res.walked_to_hit_ref}\t{strand(res.is_rev_vs_ref)}"
+            )
+        else:
+            warn_no_hit(f"{_pos[0]},{_pos[2]}")
+
+    for pp, off, prev in path_positions:
+        if lifting:
+            _pos, step = lift.get_graph_pos(src_ctx, pp, off)
+            if _pos[0]:
+                pos, step = lift_into_target(_pos, step, True)
+            else:
+                pos, step = (0, False, 0), -1
+            src_name = source.path_names[pp]
+        else:
+            pos, step = lift.get_graph_pos(tgt_ctx, pp, off)
+            src_name = target.path_names[pp]
+        hit = False
+        if pos[0]:
+            if args.give_graph_pos:
+                print("#source.path.pos\ttarget.graph.pos")
+                print(
+                    f"{src_name},{off},{strand(prev)}\t"
+                    f"{pos[0]},{pos[2]},{strand(pos[1])}"
+                )
+                hit = True
+            else:
+                res = lift.LiftResult()
+                if lift.get_position(
+                    tgt_ctx, ref_set, pos, step, True,
+                    search_radius, walking_dist, res,
+                ):
+                    p = int(target.step_path[res.ref_hit])
+                    print("#source.path.pos\ttarget.path.pos\tdist.to.ref\tstrand.vs.ref")
+                    print(
+                        f"{src_name},{off},{strand(prev)}\t"
+                        f"{target.path_names[p]},{res.path_offset},+\t"
+                        f"{res.walked_to_hit_ref}\t{strand(res.is_rev_vs_ref)}"
+                    )
+                    hit = True
+        if not hit:
+            warn_no_hit(f"{src_name},{off}")
+
+    node_annotations = {}
+    for r in path_ranges:
+        if lifting:
+            pos_b, step_b = lift.get_graph_pos(src_ctx, r.path, r.start)
+            pos_e, step_e = lift.get_graph_pos(src_ctx, r.path, r.end)
+            if pos_b[0] and pos_e[0]:
+                pos_b, step_b = lift_into_target(pos_b, step_b, True)
+                pos_e, step_e = lift_into_target(pos_e, step_e, True)
+            else:
+                pos_b = pos_e = (0, False, 0)
+        elif args.gff_input:
+            # collect node -> annotation over the range (inclusive bounds;
+            # position_main.cpp:507-544)
+            lo, hi = int(target.path_offset[r.path]), int(target.path_offset[r.path + 1])
+            offs = target.step_pos[lo:hi]
+            from ..core.graph import handle_rank
+
+            ranks = handle_rank(target.step_handle[lo:hi])
+            lens = target.node_len[ranks]
+            sel = (offs <= r.end) & (offs + lens - 1 >= r.start)
+            for rank in ranks[sel]:
+                node_annotations.setdefault(int(target.node_id[rank]), set()).add(r.name)
+            continue
+        else:
+            pos_b, step_b = lift.get_graph_pos(tgt_ctx, r.path, r.start)
+            pos_e, step_e = lift.get_graph_pos(tgt_ctx, r.path, r.end)
+        hit = False
+        if pos_b[0] and pos_e[0]:
+            if args.give_graph_pos:
+                print(
+                    f"{r.data}\t{pos_b[0]},{pos_b[2]},{strand(pos_b[1])}\t"
+                    f"{pos_e[0]},{pos_e[2]},{strand(pos_e[1])}"
+                )
+                hit = True
+            elif args.all_ref_positions:
+                for rp in ref_paths:
+                    lb, le = lift.LiftResult(), lift.LiftResult()
+                    if lift.get_position(
+                        tgt_ctx, {rp}, pos_b, step_b, True,
+                        search_radius, walking_dist, lb,
+                    ) and lift.get_position(
+                        tgt_ctx, {rp}, pos_e, step_e, True,
+                        search_radius, walking_dist, le,
+                    ):
+                        pb = int(target.step_path[lb.ref_hit])
+                        pe = int(target.step_path[le.ref_hit])
+                        print(
+                            f"{r.data}\t{target.path_names[pb]},{lb.path_offset},"
+                            f"{strand(lb.is_rev_vs_ref)}\t"
+                            f"{target.path_names[pe]},{le.path_offset},"
+                            f"{strand(le.is_rev_vs_ref)}\t"
+                            f"{strand(lb.is_rev_vs_ref ^ r.is_rev)}"
+                        )
+                        hit = True
+            else:
+                lb, le = lift.LiftResult(), lift.LiftResult()
+                if lift.get_position(
+                    tgt_ctx, ref_set, pos_b, step_b, True,
+                    search_radius, walking_dist, lb,
+                ) and lift.get_position(
+                    tgt_ctx, ref_set, pos_e, step_e, True,
+                    search_radius, walking_dist, le,
+                ):
+                    pb = int(target.step_path[lb.ref_hit])
+                    pe = int(target.step_path[le.ref_hit])
+                    print(
+                        f"{r.data}\t{target.path_names[pb]},{lb.path_offset},"
+                        f"{strand(lb.is_rev_vs_ref)}\t"
+                        f"{target.path_names[pe]},{le.path_offset},"
+                        f"{strand(le.is_rev_vs_ref)}\t"
+                        f"{strand(lb.is_rev_vs_ref ^ r.is_rev)}"
+                    )
+                    hit = True
+        if not args.gff_input and not hit:
+            warn_no_hit(r.data)
+
+    if args.gff_input:
+        print("NODE_ID,ANNOTATION,COLOR")
+        items = sorted(node_annotations.items())
+        for i, (nid, annos) in enumerate(items):
+            anno = ";".join(sorted(annos))
+            prev_set = items[i - 1][1] if i > 0 else None
+            next_set = items[i + 1][1] if i + 1 < len(items) else None
+            show = (
+                prev_set != annos
+                or i == len(items) - 1
+                or (next_set is not None and next_set != annos)
+            )
+            h = hashlib.sha256(anno.encode()).digest()
+            color = (h[24] << 16) | (h[8] << 8) | h[16]
+            print(f"{nid},{anno if show else ''},#{color:06x}")
     return 0
 
 
@@ -672,11 +1094,27 @@ def register(sub):
     p.add_argument("-v", "--pos", type=int, required=True)
     p.set_defaults(fn=cmd_panpos)
 
-    p = sub.add_parser("position", help="position lift between paths")
-    p.add_argument("-i", "--input", required=True)
-    p.add_argument("-p", "--graph-pos", required=True, help="path,pos")
-    p.add_argument("-r", "--ref-paths", nargs="+", required=True)
+    p = sub.add_parser("position", help="find/translate/liftover positions")
+    p.add_argument("-i", "--target", dest="input", required=True)
+    p.add_argument("-x", "--source")
+    p.add_argument("-r", "--ref-path")
+    p.add_argument("-R", "--ref-paths")
+    p.add_argument("-l", "--lift-path")
+    p.add_argument("-L", "--lift-paths")
+    p.add_argument("-g", "--graph-pos")
+    p.add_argument("-G", "--graph-pos-file")
+    p.add_argument("-p", "--path-pos")
+    p.add_argument("-F", "--path-pos-file")
+    p.add_argument("-b", "--bed-input")
+    p.add_argument("-E", "--gff-input")
+    p.add_argument("-v", "--give-graph-pos", action="store_true")
+    p.add_argument("-I", "--all-immediate", action="store_true")
     p.add_argument("-d", "--search-radius", type=int, default=10000)
+    p.add_argument("-w", "--jaccard-context", type=int, default=10000)
+    p.add_argument("--all-positions", action="store_true")
+    p.add_argument("--all-ref-positions", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_position)
 
     p = sub.add_parser("extract", help="extract subgraph")
