@@ -137,6 +137,41 @@ def explode(g: GraphTensors) -> List[GraphTensors]:
     return out
 
 
+def prefix_and_id_ordered_paths(
+    g: GraphTensors, delim: str = "", avg: bool = False, rev: bool = False
+) -> np.ndarray:
+    """Path permutation sorted by min (or avg) contained node id, binned
+    by name prefix up to `delim` in first-seen prefix order (reference:
+    src/algorithms/id_ordered_paths.cpp; `odgi sort -L/-M/-A/-R/-D`).
+    Note the reference's 'max' variant (-M) is min-keyed + reversed."""
+    from ..core.graph import handle_rank
+
+    ids = g.node_id[handle_rank(g.step_handle)].astype(np.float64)
+    prefix_order: List[str] = []
+    bins = {}
+    for p in range(g.num_paths):
+        name = g.path_names[p]
+        prefix = name.split(delim)[0] if delim else ""
+        if prefix not in bins:
+            bins[prefix] = []
+            prefix_order.append(prefix)
+        lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+        if hi == lo:
+            key = float("inf")
+        elif avg:
+            key = float(ids[lo:hi].mean())
+        else:
+            key = float(ids[lo:hi].min())
+        bins[prefix].append((key, p))
+    order = []
+    for prefix in prefix_order:
+        b = sorted(bins[prefix])
+        if rev:
+            b.reverse()
+        order.extend(p for _, p in b)
+    return np.asarray(order, dtype=np.int64)
+
+
 def squeeze(graphs: Sequence[GraphTensors]) -> GraphTensors:
     """Concatenate graphs into one, offsetting ids
     (reference: squeeze_main.cpp)."""

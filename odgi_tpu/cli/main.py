@@ -169,14 +169,75 @@ def _g(v) -> str:
 
 
 def cmd_sort(args):
+    """`odgi sort` with the reference's sort-mode precedence
+    (reference: src/subcommand/sort_main.cpp:418-585)."""
+    import numpy as np
+
     from ..algorithms.path_sgd_sort import sort_pipeline
-    from ..algorithms.topological import topological_order
+    from ..algorithms.transforms import prefix_and_id_ordered_paths
 
     g = load_any(args.input)
     if args.optimize:
         g = g.optimize()
-    pipeline = args.pipeline or ("Y" if args.path_sgd else "s")
-    g = sort_pipeline(g, pipeline)
+    sgd_overrides = {}
+    for flag, key in [
+        ("sgd_iter_max", "iter_max"),
+        ("sgd_eps", "eps"),
+        ("sgd_delta", "delta"),
+        ("sgd_eta_max", "eta_max"),
+        ("sgd_zipf_theta", "theta"),
+        ("sgd_zipf_space", "space"),
+        ("sgd_zipf_space_max", "space_max"),
+        ("sgd_zipf_space_quantization_step", "space_quantization_step"),
+        ("sgd_cooling", "cooling_start"),
+        ("sgd_iter_with_max_learning_rate", "iter_with_max_learning_rate"),
+    ]:
+        v = getattr(args, flag, None)
+        if v is not None:
+            sgd_overrides[key] = v
+    if args.pipeline:
+        pipeline = args.pipeline
+    elif args.two:
+        pipeline = "w"
+    elif args.sort_order:
+        order_ids = [int(l) for l in open(args.sort_order) if l.strip()]
+        order = np.asarray([g.id_to_rank[i] for i in order_ids], dtype=np.int64)
+        g = g.apply_ordering(order, compact_ids=True)
+        pipeline = ""
+    elif args.dagify_sort:
+        pipeline = "d"
+    elif args.cycle_breaking:
+        pipeline = "c"
+    elif args.no_seeds:
+        pipeline = "n"
+    elif args.path_sgd:
+        pipeline = "Y"
+    elif args.breadth_first:
+        pipeline = "b"
+    elif args.depth_first:
+        pipeline = "z"
+    elif args.random:
+        pipeline = "r"
+    elif args.optimize:
+        pipeline = ""
+    else:
+        pipeline = "s"
+    if pipeline:
+        g = sort_pipeline(g, pipeline, sgd_overrides=sgd_overrides or None)
+    if args.paths_min:
+        g = g.keep_paths(prefix_and_id_ordered_paths(g, args.path_delim or ""))
+    if args.paths_max:
+        g = g.keep_paths(
+            prefix_and_id_ordered_paths(g, args.path_delim or "", rev=True)
+        )
+    if args.paths_avg:
+        g = g.keep_paths(
+            prefix_and_id_ordered_paths(g, args.path_delim or "", avg=True)
+        )
+    if args.paths_avg_rev:
+        g = g.keep_paths(
+            prefix_and_id_ordered_paths(g, args.path_delim or "", avg=True, rev=True)
+        )
     _out_graph(g, args.out)
     return 0
 
@@ -265,11 +326,48 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("sort", help="sort the graph")
-    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-i", "--input", "--idx", dest="input", required=True)
     p.add_argument("-o", "--out", required=True)
     p.add_argument("-p", "--pipeline", default=None, help="e.g. Ygs")
     p.add_argument("-Y", "--path-sgd", action="store_true")
     p.add_argument("-O", "--optimize", action="store_true")
+    p.add_argument("-b", "--breadth-first", action="store_true")
+    p.add_argument("-z", "--depth-first", action="store_true")
+    p.add_argument("-c", "--cycle-breaking", action="store_true")
+    p.add_argument("-w", "--two", action="store_true")
+    p.add_argument("-n", "--no-seeds", action="store_true")
+    p.add_argument("-r", "--random", action="store_true")
+    p.add_argument("-d", "--dagify-sort", action="store_true")
+    p.add_argument("-s", "--sort-order")
+    p.add_argument("-L", "--paths-min", action="store_true")
+    p.add_argument("-M", "--paths-max", action="store_true")
+    p.add_argument("-A", "--paths-avg", action="store_true")
+    p.add_argument("-R", "--paths-avg-rev", action="store_true")
+    p.add_argument("-D", "--path-delim")
+    p.add_argument("-x", "--path-sgd-iter-max", dest="sgd_iter_max", type=int)
+    p.add_argument("-g", "--path-sgd-eps", dest="sgd_eps", type=float)
+    p.add_argument("-j", "--path-sgd-delta", dest="sgd_delta", type=float)
+    p.add_argument("-v", "--path-sgd-eta-max", dest="sgd_eta_max", type=float)
+    p.add_argument("-a", "--path-sgd-zipf-theta", dest="sgd_zipf_theta", type=float)
+    p.add_argument("-k", "--path-sgd-zipf-space", dest="sgd_zipf_space", type=int)
+    p.add_argument(
+        "-I", "--path-sgd-zipf-space-max", dest="sgd_zipf_space_max", type=int
+    )
+    p.add_argument(
+        "-l",
+        "--path-sgd-zipf-space-quantization-step",
+        dest="sgd_zipf_space_quantization_step",
+        type=int,
+    )
+    p.add_argument("-u", "--path-sgd-cooling", dest="sgd_cooling", type=float)
+    p.add_argument(
+        "-F",
+        "--iteration-max-learning-rate",
+        dest="sgd_iter_with_max_learning_rate",
+        type=int,
+    )
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_sort)
 
     p = sub.add_parser("layout", help="2D PG-SGD layout")

@@ -43,28 +43,49 @@ def _onehot_factors(idx, num_hi):
 
 
 def factored_gather(table, idx):
-    """table: (M, C) f32, idx: (B,) i32 -> (B, C) rows, via MXU matmuls."""
+    """table: (M, C) f32, idx: (B,) i32 -> (B, C) rows, via MXU matmuls.
+
+    Two contraction orders with identical results but different
+    intermediate sizes (the HBM traffic of that intermediate dominates):
+    when H = M/128 < 128 the (B, H, C) grouping is smaller than the
+    (B, 128, C) one, so pick per-table."""
     M, C = table.shape
     Mp = _pad_rows(M)
     H = Mp // LANE
     if Mp != M:
         table = jnp.pad(table, ((0, Mp - M), (0, 0)))
     e_hi, e_lo = _onehot_factors(idx, H)
-    # (B, H) @ (H, LANE*C) -> (B, LANE*C)
+    t3 = table.reshape(H, LANE, C)
+    if H < LANE:
+        # (B, LANE) @ (LANE, H*C) -> (B, H, C); reduce over h
+        w = jnp.dot(
+            e_lo,
+            jnp.transpose(t3, (1, 0, 2)).reshape(LANE, H * C),
+            preferred_element_type=jnp.float32,
+        ).reshape(-1, H, C)
+        return jnp.einsum("bh,bhc->bc", e_hi, w)
+    # (B, H) @ (H, LANE*C) -> (B, LANE, C); reduce over l
     t = jnp.dot(
-        e_hi, table.reshape(H, LANE * C), preferred_element_type=jnp.float32
-    )
-    t = t.reshape(-1, LANE, C)
+        e_hi, t3.reshape(H, LANE * C), preferred_element_type=jnp.float32
+    ).reshape(-1, LANE, C)
     return jnp.einsum("bl,blc->bc", e_lo, t)
 
 
 def factored_scatter_add(shape_m, idx, values):
     """Dense scatter-add: returns (M, C) accumulator with values (B, C)
-    summed at rows idx.  Conflicts sum exactly (f32 accumulate)."""
+    summed at rows idx.  Conflicts sum exactly (f32 accumulate).  Same
+    adaptive grouping as factored_gather."""
     B, C = values.shape
     Mp = _pad_rows(shape_m)
     H = Mp // LANE
     e_hi, e_lo = _onehot_factors(idx, H)
+    if H < LANE:
+        # (B, H, C) intermediate, then (LANE, B) @ (B, H*C)
+        t = e_hi[:, :, None] * values[:, None, :]
+        acc = jnp.dot(
+            e_lo.T, t.reshape(B, H * C), preferred_element_type=jnp.float32
+        ).reshape(LANE, H, C)
+        return jnp.transpose(acc, (1, 0, 2)).reshape(Mp, C)[:shape_m]
     # (B, LANE, C): spread each value across its lane slot
     spread = e_lo[:, :, None] * values[:, None, :]
     acc = jnp.dot(

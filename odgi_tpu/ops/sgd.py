@@ -55,11 +55,13 @@ import jax.numpy as jnp
 
 from ..core.graph import GraphTensors, handle_is_reverse, handle_rank
 from .scatter import factored_gather, scatter_mean_apply
-from .zipf import zeta_index, zeta_table, zipf_sample
+from .zipf import zeta_eta_table, zeta_index, zeta_table, zipf_sample
 
-# A-table columns (permuted, walked sequentially for the first step).
+# A-table rows (transposed: (8, 2S) so a batch is a lane-contiguous
+# dynamic slice; the (2S, 8) row-major layout pads 8 -> 128 lanes and made
+# the per-batch slice 16x more HBM traffic).
 _A_LO, _A_RANK, _A_COUNT, _A_POS, _A_POSEND, _A_HANDLE = range(6)
-_A_COLS = 8  # padded to 8 for tile alignment
+_A_COLS = 8  # padded to 8 sublanes for tile alignment
 # B-table columns (true step order, row-gathered for the second step).
 _B_POS, _B_POSEND, _B_HANDLE = range(3)
 _B_COLS = 4
@@ -95,15 +97,16 @@ def sgd_schedule(
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["tab_a", "tab_b", "tab_b_f", "zetas"],
+    data_fields=["tab_a", "tab_b", "tab_b_f", "zetas", "zeta_eta"],
     meta_fields=["num_steps", "num_nodes", "tables_exact"],
 )
 @dataclass(frozen=True)
 class SgdData:
     """Device-resident sampling tensors (pytree).
 
-    tab_a: i32 (2*S, 8) — the step table in a fixed random permutation,
-        doubled so any length<=S slice wraps; columns
+    tab_a: i32 (8, 2*S) — the step table in a fixed random permutation,
+        TRANSPOSED so a batch is one lane-contiguous dynamic slice, and
+        doubled so any length<=S slice wraps; rows
         [path_first_step, step_rank_in_path, path_step_count,
          pos, pos_end, packed_handle, 0, 0].
         This subsumes the XP index's np_bv/nr_iv/npi_iv sampling triple
@@ -112,12 +115,14 @@ class SgdData:
     tab_b: i32 (S, 4) — [pos, pos_end, packed_handle, 0] in true step
         order, addressed by first_step + jumped_rank.
     zetas: f32 quantized zeta table (reference: path_sgd.cpp:128-138).
+    zeta_eta: f32 (T, 2) [zeta, eta] per entry (see zipf.zeta_eta_table).
     """
 
     tab_a: jnp.ndarray
     tab_b: jnp.ndarray
     tab_b_f: jnp.ndarray  # f32 copy of tab_b for the MXU-factored gather
     zetas: jnp.ndarray
+    zeta_eta: jnp.ndarray
     num_steps: int
     num_nodes: int
     tables_exact: bool  # all tab_b values < 2^24 (f32-exact for MXU path)
@@ -153,7 +158,7 @@ class SgdData:
             a[:, _A_HANDLE] = handle
             perm = np.random.default_rng(perm_seed).permutation(S)
             a = a[perm]
-        tab_a = np.concatenate([a, a], axis=0)
+        tab_a = np.ascontiguousarray(np.concatenate([a, a], axis=0).T)
 
         b = np.zeros((max(S, 1), _B_COLS), dtype=np.int32)
         if S:
@@ -167,6 +172,9 @@ class SgdData:
             tab_b=jnp.asarray(b),
             tab_b_f=jnp.asarray(b, jnp.float32),
             zetas=jnp.asarray(zetas, jnp.float32),
+            zeta_eta=jnp.asarray(
+                zeta_eta_table(space, space_max, quant_step, theta)
+            ),
             num_steps=S,
             num_nodes=g.num_nodes,
             tables_exact=bool(b.max(initial=0) < 2**24),
@@ -291,15 +299,13 @@ def _sample_pairs(key, start, data: SgdData, cfg: SgdConfig, cooling):
     with p=1/2 (or always when cooling) a Zipf jump along the path
     (backward with p=1/2 unless at the ends), else uniform in the path.
 
-    Returns (rows_a (B,8) i32, rows_b (B,4) i32, valid mask).
+    Returns (cols_a (8,B) i32, rows_b (B,4) i32, valid mask).
     """
     B = cfg.batch_size
-    rows_a = jax.lax.dynamic_slice(
-        data.tab_a, (start, 0), (B, _A_COLS)
-    )
-    lo = rows_a[:, _A_LO]
-    s_rank = rows_a[:, _A_RANK]
-    count = rows_a[:, _A_COUNT]
+    cols_a = jax.lax.dynamic_slice(data.tab_a, (0, start), (_A_COLS, B))
+    lo = cols_a[_A_LO]
+    s_rank = cols_a[_A_RANK]
+    count = cols_a[_A_COUNT]
     valid = count > 1
 
     # Two random words per lane: word0 feeds the branch coins (bits 0-1)
@@ -316,14 +322,17 @@ def _sample_pairs(key, start, data: SgdData, cfg: SgdConfig, cooling):
         jnp.int32(cfg.space), jnp.where(backward, s_rank, count - 1 - s_rank)
     )
     jump_space = jnp.maximum(jump_space, 1)
+    ze = factored_gather(
+        data.zeta_eta,
+        zeta_index(jump_space, cfg.space_max, cfg.space_quantization_step),
+    )
     zi = zipf_sample(
         u,
         jump_space,
         cfg.theta,
         data.zetas[2] if data.zetas.shape[0] > 2 else jnp.float32(1.0),
-        data.zetas[
-            zeta_index(jump_space, cfg.space_max, cfg.space_quantization_step)
-        ],
+        ze[:, 0],
+        eta=ze[:, 1],
     )
     s2_zipf = jnp.where(backward, s_rank - zi, s_rank + zi)
     s2_unif = jnp.floor(_u24(w1) * count.astype(jnp.float32)).astype(jnp.int32)
@@ -334,7 +343,7 @@ def _sample_pairs(key, start, data: SgdData, cfg: SgdConfig, cooling):
         rows_b = factored_gather(data.tab_b_f, step_b).astype(jnp.int32)
     else:
         rows_b = data.tab_b[step_b]
-    return rows_a, rows_b, valid, w1
+    return cols_a, rows_b, valid, w1
 
 
 # ---------------------------------------------------------------------------
@@ -343,10 +352,10 @@ def _sample_pairs(key, start, data: SgdData, cfg: SgdConfig, cooling):
 
 
 def _update_1d(X, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
-    rows_a, rows_b, valid, _ = _sample_pairs(key, start, data, cfg, cooling)
-    pos_a = rows_a[:, _A_POS]
+    cols_a, rows_b, valid, _ = _sample_pairs(key, start, data, cfg, cooling)
+    pos_a = cols_a[_A_POS]
     pos_b = rows_b[:, _B_POS]
-    i = rows_a[:, _A_HANDLE] >> 1
+    i = cols_a[_A_HANDLE] >> 1
     j = rows_b[:, _B_HANDLE] >> 1
     term_dist = jnp.abs(pos_a - pos_b).astype(jnp.float32)
     valid = valid & (term_dist != 0)
@@ -383,27 +392,30 @@ def _update_1d(X, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
 # ---------------------------------------------------------------------------
 
 
-def _endpoints_2d(coin, rows, pos_col, posend_col, handle_col):
+def _endpoints_2d(coin, handle, pos0, pos1):
     """Choose head/tail endpoints with orientation fix-up, exactly as the
     CUDA kernel (layout.cu:252-281).  `coin` is a bool per lane.  Returns
     (ep, pos): endpoint index into the (2N, 2) coords array and the i32
     path position (CUDA's pos starts at 1, layout.cu:385; ours is 0-based —
     the shift cancels in the distance)."""
-    handle = rows[:, handle_col]
     node = handle >> 1
     rev = (handle & 1).astype(jnp.bool_)
-    pos = jnp.where(coin, rows[:, posend_col], rows[:, pos_col])
+    pos = jnp.where(coin, pos1, pos0)
     use_other = jnp.where(coin, ~rev, rev)
     ep = 2 * node + use_other.astype(jnp.int32)
     return ep, pos
 
 
 def _update_2d(coords, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
-    rows_a, rows_b, valid, w1 = _sample_pairs(key, start, data, cfg, cooling)
+    cols_a, rows_b, valid, w1 = _sample_pairs(key, start, data, cfg, cooling)
     coin_a = (w1 & 1).astype(jnp.bool_)
     coin_b = (w1 & 2).astype(jnp.bool_)
-    ep_a, pos_a = _endpoints_2d(coin_a, rows_a, _A_POS, _A_POSEND, _A_HANDLE)
-    ep_b, pos_b = _endpoints_2d(coin_b, rows_b, _B_POS, _B_POSEND, _B_HANDLE)
+    ep_a, pos_a = _endpoints_2d(
+        coin_a, cols_a[_A_HANDLE], cols_a[_A_POS], cols_a[_A_POSEND]
+    )
+    ep_b, pos_b = _endpoints_2d(
+        coin_b, rows_b[:, _B_HANDLE], rows_b[:, _B_POS], rows_b[:, _B_POSEND]
+    )
     term_dist = jnp.maximum(jnp.abs(pos_a - pos_b).astype(jnp.float32), 1e-9)
     mu = jnp.minimum(eta / term_dist, 1.0)
     if cfg.mxu_coords:

@@ -55,6 +55,33 @@ def zeta_table(space: int, space_max: int, quant_step: int, theta: float) -> np.
     return zetas
 
 
+def zeta_eta_table(
+    space: int, space_max: int, quant_step: int, theta: float
+) -> np.ndarray:
+    """(T, 2) f32 table of [zeta(s_i), eta(s_i)] per zeta-table entry.
+
+    eta(n) = (1 - (2/n)^(1-theta)) / (1 - zeta(2)/zeta(n)) is the
+    per-space constant of the dirtyzipf inversion; the CUDA kernel
+    recomputes it per draw with two powf calls (reference:
+    src/cuda/layout.cu:95-104).  TPU transcendentals are the SGD
+    bottleneck, so we precompute eta per table entry instead — for spaces
+    beyond space_max this quantizes eta exactly like the reference already
+    quantizes zeta (same error class, measured stress-neutral on DRB1).
+    """
+    zetas = zeta_table(space, space_max, quant_step, theta)
+    n_entries = len(zetas)
+    s = np.arange(n_entries, dtype=np.float64)
+    if space > space_max:
+        q = s > space_max
+        s[q] = space_max + (s[q] - space_max - 1) * quant_step
+    s = np.maximum(s, 1.0)
+    zeta2 = zetas[2] if n_entries > 2 else 1.0
+    denom = 1.0 - np.divide(zeta2, zetas, out=np.ones_like(zetas), where=zetas != 0)
+    denom = np.where(denom == 0.0, 1e-9, denom)
+    eta = (1.0 - np.power(2.0 / s, 1.0 - theta)) / denom
+    return np.stack([zetas, eta], axis=1).astype(np.float32)
+
+
 def zeta_index(jump_space, space_max: int, quant_step: int):
     """Map a jump space to its zeta-table index (reference:
     path_sgd.cpp:249-253): exact below space_max, quantized above.
@@ -69,26 +96,28 @@ def zeta_index(jump_space, space_max: int, quant_step: int):
     return jnp.where(jump_space > space_max, quantized, jump_space)
 
 
-def zipf_sample(u, n, theta: float, zeta2, zetan):
+def zipf_sample(u, n, theta: float, zeta2, zetan, eta=None):
     """Vectorized closed-form Zipf(n, theta) sampler on (0,1] uniforms,
     the cuda_rnd_zipf inversion (reference: src/cuda/layout.cu:89-113).
 
-    Returns integers in [1, n]; callers guarantee n >= 1.
+    Returns integers in [1, n]; callers guarantee n >= 1.  Pass `eta`
+    (precomputed per space by zeta_eta_table) to skip the per-lane
+    pow(2/n, 1-theta); the remaining pow runs as exp2(alpha*log2(x)) —
+    one transcendental pair per lane instead of four.
     """
     n = n.astype(jnp.float32)
     alpha = 1.0 / (1.0 - theta)
-    denominator = 1.0 - zeta2 / zetan
-    denominator = jnp.where(denominator == 0.0, 1e-9, denominator)
-    eta = (1.0 - jnp.power(2.0 / n, 1.0 - theta)) / denominator
+    if eta is None:
+        denominator = 1.0 - zeta2 / zetan
+        denominator = jnp.where(denominator == 0.0, 1e-9, denominator)
+        eta = (1.0 - jnp.power(2.0 / n, 1.0 - theta)) / denominator
+    x = eta * u - eta + 1.0
+    powx = jnp.exp2(jnp.float32(alpha) * jnp.log2(x))
     uz = u * zetan
     val = jnp.where(
         uz < 1.0,
         1.0,
-        jnp.where(
-            uz < 1.0 + jnp.power(0.5, theta),
-            2.0,
-            1.0 + n * jnp.power(eta * u - eta + 1.0, alpha),
-        ),
+        jnp.where(uz < 1.0 + jnp.power(0.5, theta), 2.0, 1.0 + n * powx),
     )
     val = jnp.floor(val).astype(jnp.int32)
     return jnp.clip(val, 1, n.astype(jnp.int32))

@@ -50,11 +50,15 @@ from ..ops.sgd import (
 def _local_acc_2d(coords, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
     """One device's (M, 3) [dx, dy, count] accumulator for a local batch.
     Mirrors ops.sgd._update_2d but returns the accumulator for psum."""
-    rows_a, rows_b, valid, w1 = _sample_pairs(key, start, data, cfg, cooling)
+    cols_a, rows_b, valid, w1 = _sample_pairs(key, start, data, cfg, cooling)
     coin_a = (w1 & 1).astype(jnp.bool_)
     coin_b = (w1 & 2).astype(jnp.bool_)
-    ep_a, pos_a = _endpoints_2d(coin_a, rows_a, _A_POS, _A_POSEND, _A_HANDLE)
-    ep_b, pos_b = _endpoints_2d(coin_b, rows_b, _B_POS, _B_POSEND, _B_HANDLE)
+    ep_a, pos_a = _endpoints_2d(
+        coin_a, cols_a[_A_HANDLE], cols_a[_A_POS], cols_a[_A_POSEND]
+    )
+    ep_b, pos_b = _endpoints_2d(
+        coin_b, rows_b[:, _B_HANDLE], rows_b[:, _B_POS], rows_b[:, _B_POSEND]
+    )
     term_dist = jnp.maximum(jnp.abs(pos_a - pos_b).astype(jnp.float32), 1e-9)
     mu = jnp.minimum(eta / term_dist, 1.0)
     d = coords[ep_a] - coords[ep_b]
