@@ -26,6 +26,12 @@ import jax.numpy as jnp
 
 LANE = 128
 
+# TPU f32 matmuls default to bf16 passes (8-bit mantissa) — silently
+# truncating gathered table values (positions up to 2^24, coordinates).
+# Every dot/einsum here must run at full f32 precision; this was measured
+# to be the difference between DRB1 layout stress 5.50 and 1.23.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _pad_rows(m: int) -> int:
     return -(-m // LANE) * LANE
@@ -62,13 +68,17 @@ def factored_gather(table, idx):
             e_lo,
             jnp.transpose(t3, (1, 0, 2)).reshape(LANE, H * C),
             preferred_element_type=jnp.float32,
+            precision=_HI,
         ).reshape(-1, H, C)
-        return jnp.einsum("bh,bhc->bc", e_hi, w)
+        return jnp.einsum("bh,bhc->bc", e_hi, w, precision=_HI)
     # (B, H) @ (H, LANE*C) -> (B, LANE, C); reduce over l
     t = jnp.dot(
-        e_hi, t3.reshape(H, LANE * C), preferred_element_type=jnp.float32
+        e_hi,
+        t3.reshape(H, LANE * C),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
     ).reshape(-1, LANE, C)
-    return jnp.einsum("bl,blc->bc", e_lo, t)
+    return jnp.einsum("bl,blc->bc", e_lo, t, precision=_HI)
 
 
 def factored_scatter_add(shape_m, idx, values):
@@ -83,13 +93,19 @@ def factored_scatter_add(shape_m, idx, values):
         # (B, H, C) intermediate, then (LANE, B) @ (B, H*C)
         t = e_hi[:, :, None] * values[:, None, :]
         acc = jnp.dot(
-            e_lo.T, t.reshape(B, H * C), preferred_element_type=jnp.float32
+            e_lo.T,
+            t.reshape(B, H * C),
+            preferred_element_type=jnp.float32,
+            precision=_HI,
         ).reshape(LANE, H, C)
         return jnp.transpose(acc, (1, 0, 2)).reshape(Mp, C)[:shape_m]
     # (B, LANE, C): spread each value across its lane slot
     spread = e_lo[:, :, None] * values[:, None, :]
     acc = jnp.dot(
-        e_hi.T, spread.reshape(B, LANE * C), preferred_element_type=jnp.float32
+        e_hi.T,
+        spread.reshape(B, LANE * C),
+        preferred_element_type=jnp.float32,
+        precision=_HI,
     )
     return acc.reshape(Mp, C)[:shape_m]
 

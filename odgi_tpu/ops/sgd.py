@@ -201,6 +201,7 @@ class SgdConfig:
     seed: int = 9399220  # the reference's worker seed base (path_sgd.cpp:208)
     mxu_coords: bool = True  # factored one-hot coords ops (vs XLA scatter)
     mxu_tables: bool = True  # factored one-hot step-table gather (vs XLA)
+    pallas: bool = False  # fused Pallas hot kernel (TPU; see ops/pallas_sgd.py)
     rng_impl: str = "rbg"  # hardware RNG; 'threefry2x32' for splittability
 
     @property
@@ -225,6 +226,16 @@ def _clamp_batch(batch_size: int, num_steps: int, epoch_div: int = 4) -> int:
     return max(1, min(batch_size, cap))
 
 
+def _platform_defaults(overrides: dict) -> dict:
+    """Resolve backend-dependent dispatch defaults: the factored one-hot
+    MXU formulation only pays on TPU (CPU/GPU XLA scatter-gather is fine
+    and the one-hot matmuls are slow there)."""
+    on_tpu = jax.default_backend() == "tpu"
+    overrides.setdefault("mxu_coords", on_tpu)
+    overrides.setdefault("mxu_tables", on_tpu)
+    return overrides
+
+
 def derive_config_1d(g: GraphTensors, **overrides) -> SgdConfig:
     """1D defaults (reference: sort_main.cpp:313-415): iter_max=100,
     min_term_updates=1*sum_steps, eta_max=max_steps^2, zipf space = max path
@@ -239,6 +250,7 @@ def derive_config_1d(g: GraphTensors, **overrides) -> SgdConfig:
         quant = max(2, -(-(space - space_max) // (max_dists - space_max)))
     else:
         quant = 100
+    overrides = _platform_defaults(overrides)
     cfg = dict(
         iter_max=100,
         min_term_updates=sum_steps,
@@ -263,6 +275,7 @@ def derive_config_2d(g: GraphTensors, **overrides) -> SgdConfig:
     sum_steps = int(g.num_steps)
     max_steps = int(g.path_step_count.max()) if g.num_paths else 1
     space = max(1, max_steps)
+    overrides = _platform_defaults(overrides)
     cfg = dict(
         iter_max=30,
         min_term_updates=10 * sum_steps,

@@ -112,3 +112,22 @@ def test_ygs_pipeline(unsorted_drb):
     assert g2.validate() == []
     d = stats.sum_of_path_node_distances(g2)
     assert d.all_nt_space < 10
+
+
+def test_sgd_2d_default_stress_beats_fixture(unsorted_drb):
+    """Pin 2D layout quality at PURE defaults on DRB1-unsorted: converged
+    stress (sum_of_path_node_distances, 2D/nt) must be <= 1.4; the reference
+    fixture DRB1-3123_unsorted.og.lay measures 1.2855, our run 1.23.
+
+    This guards the round-1 regression where TPU f32 matmuls silently ran
+    at bf16 precision inside the factored one-hot gather/scatter
+    (ops/scatter.py), truncating path positions and coordinates and
+    quadrupling converged stress (5.50)."""
+    from odgi_tpu.algorithms.layout import init_layout
+
+    g = unsorted_drb
+    cfg = sgd.derive_config_2d(g)
+    out = sgd.path_sgd_2d(g, init_layout(g, "d"), cfg)
+    c = np.asarray(out, np.float64).reshape(-1, 2)
+    r = stats.sum_of_path_node_distances(g, (c[:, 0], c[:, 1]))
+    assert r.all_2d_by_nucleotides <= 1.4
