@@ -24,6 +24,25 @@ with ``ints_per_word = 64 // width``, ``MASK = (1 << width) - 1``, and
 element ``j`` packed LSB-first at bits ``(j % ipw) * width`` of word
 ``j // ipw`` (no prefix-sum field -- the "hacked" vector drops psum).
 
+``n_words`` is the vector's ALLOCATION CAPACITY, not the used word count.
+The growth rule was reverse-engineered by exhaustive fit against all 9642
+vectors of ``test/DRB1-3123_sorted.og`` (0 mismatches; see _HackedVector):
+
+  - width starts at 0; ``push_back(x)`` with ``bitsize(x) > width`` rebuilds
+    at the new width with ``n_words = ceil((size+1)/ipw) + 2``;
+  - a full ``push_back`` without width change appends ONE word;
+  - ``set(i, x)`` with ``bitsize(x) > width`` rebuilds with
+    ``n_words = ceil(max(size,1)/ipw) + 2`` (no incoming element);
+  - capacity words beyond ``ceil(size/ipw)`` and slack bits are zero.
+
+Byte-identical re-encode therefore requires replaying the reference's
+construction history: per-node ``paths`` vectors keep their build-time
+capacities (graph_t::apply_ordering edits them in place, src/odgi.cpp:840
+-> node_t::apply_ordering, src/node.cpp:344-409, which rebuilds only
+``edges`` and ``decoding``), so save_og simulates create_step/link_steps
+(src/odgi.cpp append_step/create_step/link_steps; node.cpp:96-108) over
+the steps in path-major order.
+
 Record semantics (reference: src/node.cpp, src/node.hpp):
   - edges: flat pairs ``[other_id, type]`` with raw neighbor ids and
     ``type = other_rev | on_rev << 1 | to_curr << 2``
@@ -82,22 +101,56 @@ def _read_hacked_vector(buf: memoryview, p: int) -> Tuple[np.ndarray, int]:
     return slots.ravel()[:size].astype(np.int64), p
 
 
-def _write_hacked_vector(out: BinaryIO, values: np.ndarray) -> None:
-    values = np.asarray(values, dtype=np.uint64)
-    size = len(values)
-    width = max(1, int(values.max()).bit_length()) if size else 1
-    ipw = 64 // width
-    mask = (1 << width) - 1
-    n_words = -(-size // ipw) if size else 0
-    padded = np.zeros(n_words * ipw, dtype=np.uint64)
-    padded[:size] = values
-    shifts = (np.arange(ipw, dtype=np.uint64) * np.uint64(width))[None, :]
-    words = (padded.reshape(n_words, ipw) << shifts).sum(
-        axis=1, dtype=np.uint64
-    )
-    out.write(struct.pack("<Q", n_words))
-    out.write(words.astype("<u8").tobytes())
-    out.write(struct.pack("<2Q2B", mask, size, width, ipw))
+class _HackedVector:
+    """Exact simulation of ``dyn::hacked_vector`` growth (fit against all
+    9642 vectors of the sorted DRB1 fixture, zero mismatches; see module
+    docstring).  Tracks the values AND the capacity/width history, so the
+    serialized bytes match what the reference would write."""
+
+    __slots__ = ("vals", "w", "W")
+
+    def __init__(self) -> None:
+        self.vals: List[int] = []
+        self.w = 0
+        self.W = 0
+
+    def _rebuild(self, bl: int, incoming: int) -> None:
+        self.w = bl
+        ipw = 64 // bl
+        self.W = -(-max(len(self.vals) + incoming, 1) // ipw) + 2
+
+    def push(self, x: int) -> None:
+        bl = max(1, int(x).bit_length())
+        if bl > self.w:
+            self._rebuild(bl, 1)
+        if len(self.vals) + 1 > self.W * (64 // self.w):
+            self.W += 1
+        self.vals.append(int(x))
+
+    def set(self, i: int, x: int) -> None:
+        bl = max(1, int(x).bit_length())
+        if bl > self.w:
+            self._rebuild(bl, 0)
+        self.vals[i] = int(x)
+
+    def write(self, out: BinaryIO) -> None:
+        size = len(self.vals)
+        if self.w == 0:
+            # never-pushed vector: default-constructed state
+            out.write(struct.pack("<Q2Q2B", 0, 0, 0, 0, 0))
+            return
+        width = self.w
+        ipw = 64 // width
+        n_words = self.W
+        padded = np.zeros(n_words * ipw, dtype=np.uint64)
+        padded[:size] = np.asarray(self.vals, dtype=np.uint64)
+        shifts = (np.arange(ipw, dtype=np.uint64) * np.uint64(width))[None, :]
+        words = (padded.reshape(n_words, ipw) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+        out.write(struct.pack("<Q", n_words))
+        out.write(words.astype("<u8").tobytes())
+        out.write(struct.pack("<2Q2B", (1 << width) - 1, size, width, ipw))
 
 
 # ---------------------------------------------------------------------------
@@ -163,21 +216,82 @@ def load_og(src: Union[str, bytes, BinaryIO]) -> GraphTensors:
     seq_offset = np.zeros(node_count + 1, dtype=np.int64)
     np.cumsum(node_len, out=seq_offset[1:])
 
-    # ---- edges: emit each edge once from its to_curr=0 record ----
+    # ---- edges: emit each edge once, in CREATION order ----
+    # Each create_edge (src/odgi.cpp:613-659) appends a to_curr=0 record to
+    # the from-node and (for non-self-loops) a to_curr=1 record to the
+    # to-node; per-node record order is the projection of the global
+    # creation order.  Merge the per-node queues back into one global
+    # sequence (any linearization consistent with every per-node order
+    # projects back identically, which is what byte-stable re-encode
+    # needs).  Greedy: emit a front to_curr=0 record once its partner is
+    # at the to-node's front.
+    recs: List[np.ndarray] = []
+    for i, ev in enumerate(edges_per_node):
+        if len(ev):
+            r = np.empty((len(ev) // 2, 3), dtype=np.int64)
+            r[:, 0] = [id_to_rank[int(x)] for x in ev[0::2]]
+            r[:, 1] = ev[1::2]
+            r[:, 2] = i
+            recs.append(r)
+        else:
+            recs.append(np.zeros((0, 3), dtype=np.int64))
+    front = [0] * node_count
     ef: List[int] = []
     et: List[int] = []
-    for i, ev in enumerate(edges_per_node):
-        if len(ev) == 0:
-            continue
-        other = ev[0::2]
-        etype = ev[1::2]
-        on_rev = (etype >> 1) & 1
-        other_rev = etype & 1
-        to_curr = (etype >> 2) & 1
-        sel = to_curr == 0
-        for oid, orv, srv in zip(other[sel], other_rev[sel], on_rev[sel]):
-            ef.append((i << 1) | int(srv))
-            et.append((id_to_rank[int(oid)] << 1) | int(orv))
+
+    def _drain(i: int) -> bool:
+        """Emit as many front records of node i as possible.  A to_curr=1
+        front waits for the partner node's pass; a to_curr=0 front emits
+        when its partner record is at the to-node's front."""
+        r = recs[i]
+        progressed = False
+        while front[i] < len(r):
+            other, etype, _ = r[front[i]]
+            other = int(other)
+            other_rev, on_rev, to_curr = etype & 1, (etype >> 1) & 1, etype >> 2
+            if to_curr:
+                break
+            if other == i:  # self-loop: single record
+                ef.append((i << 1) | int(on_rev))
+                et.append((i << 1) | int(other_rev))
+                front[i] += 1
+                progressed = True
+                continue
+            ro = recs[other]
+            if front[other] >= len(ro):
+                break
+            o2, t2, _ = ro[front[other]]
+            if not (
+                int(o2) == i
+                and (t2 >> 2) == 1
+                and (t2 & 1) == on_rev
+                and ((t2 >> 1) & 1) == other_rev
+            ):
+                break
+            ef.append((i << 1) | int(on_rev))
+            et.append((other << 1) | int(other_rev))
+            front[i] += 1
+            front[other] += 1
+            progressed = True
+        return progressed
+
+    remaining = [i for i in range(node_count) if len(recs[i])]
+    while remaining:
+        progressed = False
+        for i in remaining:
+            progressed |= _drain(i)
+        remaining = [i for i in remaining if front[i] < len(recs[i])]
+        if not progressed:
+            # No consistent linearization (e.g. racy concurrent build):
+            # consume remaining to_curr=0 records in node order; loses
+            # byte-stable re-encode only for such files.
+            for i in remaining:
+                for other, etype, _ in recs[i][front[i] :]:
+                    if etype >> 2:
+                        continue
+                    ef.append((i << 1) | int((etype >> 1) & 1))
+                    et.append((int(other) << 1) | int(etype & 1))
+            break
     edge_from = np.array(ef, dtype=np.int64)
     edge_to = np.array(et, dtype=np.int64)
 
@@ -280,13 +394,24 @@ def load_og(src: Union[str, bytes, BinaryIO]) -> GraphTensors:
 
 
 def save_og(g: GraphTensors, out: Union[str, BinaryIO]) -> None:
-    """Write GraphTensors as a reference-loadable ``.og`` file.
+    """Write GraphTensors as a byte-stable, reference-loadable ``.og``.
 
-    Vector widths are chosen minimally (the reference reader honors the
-    stored width, so byte-identity with a reference-produced file is not
-    required -- loadability is).  Node-local step ranks are assigned in
-    path-major step order, mirroring construction by sequential
-    append_step (src/odgi.cpp:1281-1310).
+    Replays the reference's construction history so the re-encode of a
+    loaded reference file is byte-identical (verified against
+    ``test/DRB1-3123_sorted.og``):
+
+    - paths vectors: simulate create_step (push [path_id, rev|start|end,
+      enc(self), 0, enc(self), 0]) then link_steps sets (next_idx/rank +
+      is_end=0 on the previous node, prev_idx/rank + is_start=0 on this
+      node) per step in path-major order (src/odgi.cpp append_step;
+      src/node.cpp:96-108 add_path_step);
+    - decoding vectors: first-use delta dictionaries built by those
+      encode() calls (src/node.cpp:26-41), re-encoded at final ids exactly
+      as node_t::apply_ordering does (src/node.cpp:353-374);
+    - edges vectors: replay create_edge in edge-array order, appending the
+      to_curr=0 record to the from-node and the to_curr=1 record to the
+      to-node (src/odgi.cpp:613-659; type bits edge_helper::pack,
+      src/node.hpp:54-67).
     """
     close = False
     if isinstance(out, str):
@@ -297,6 +422,7 @@ def save_og(g: GraphTensors, out: Union[str, BinaryIO]) -> None:
         P = g.num_paths
         S = g.num_steps
         node_ids = g.node_id.astype(np.int64)
+        id_increment = 0
         out.write(OG_MAGIC_BE)
         out.write(
             struct.pack(
@@ -307,101 +433,113 @@ def save_og(g: GraphTensors, out: Union[str, BinaryIO]) -> None:
                 g.num_edges,
                 P,
                 P,
-                0,
+                id_increment,
             )
         )
 
-        # node-local rank assignment, path-major order
-        ranks = g.step_handle >> 1
-        revs = g.step_handle & 1
-        local_rank = np.zeros(S, dtype=np.int64)
-        counts = np.zeros(N, dtype=np.int64)
-        order = np.arange(S)
-        # stable counting: local rank = number of prior steps on same node
-        import collections
+        ranks = (g.step_handle >> 1).astype(np.int64)
+        revs = (g.step_handle & 1).astype(np.int64)
+        pc = g.path_step_count
+        path_of_step = g.step_path
+        step_rank_in_path = g.step_rank
 
-        seen = collections.defaultdict(int)
+        # node-local rank = number of prior (path-major) steps on the node
+        local_rank = np.zeros(S, dtype=np.int64)
+        seen = np.zeros(N, dtype=np.int64)
         for s in range(S):
-            n = int(ranks[s])
+            n = ranks[s]
             local_rank[s] = seen[n]
             seen[n] += 1
-            counts[n] += 1
 
-        # per-node step record lists
-        step_rank_in_path = g.step_rank
-        path_of_step = g.step_path
-        pc = g.path_step_count
+        node_paths = [_HackedVector() for _ in range(N)]
+        node_dec_order: List[List[int]] = [[] for _ in range(N)]
+        node_dec_idx: List[dict] = [dict() for _ in range(N)]
 
-        node_paths: List[List[int]] = [[] for _ in range(N)]
-        node_dec: List[dict] = [dict() for _ in range(N)]
-
-        def encode(n: int, other_id: int) -> int:
-            nid = int(node_ids[n])
-            delta = (
-                0
-                if other_id == nid
-                else (
-                    ((other_id - nid) << 1) | 1
-                    if other_id > nid
-                    else ((nid - other_id) << 1)
-                )
-            )
-            d = node_dec[n]
-            if delta not in d:
-                d[delta] = len(d)
-            return d[delta]
+        def encode(n: int, other: int) -> int:
+            """First-use dictionary index of neighbor `other` on node `n`
+            (keyed by node rank; bijective with the stored delta)."""
+            d = node_dec_idx[n]
+            i = d.get(other)
+            if i is None:
+                i = len(d)
+                d[other] = i
+                node_dec_order[n].append(other)
+            return i
 
         for s in range(S):
             n = int(ranks[s])
-            pidx = int(path_of_step[s])
             r = int(step_rank_in_path[s])
-            is_start = r == 0
-            is_end = r == pc[pidx] - 1
-            if is_start:
-                prev_idx, prev_rank = encode(n, int(node_ids[n])), 0
-            else:
-                prev_idx = encode(n, int(node_ids[ranks[s - 1]]))
-                prev_rank = int(local_rank[s - 1])
-            if is_end:
-                next_idx, next_rank = encode(n, int(node_ids[n])), 0
-            else:
-                next_idx = encode(n, int(node_ids[ranks[s + 1]]))
-                next_rank = int(local_rank[s + 1])
-            flags = int(revs[s]) | (int(is_start) << 1) | (int(is_end) << 2)
-            node_paths[n].extend(
-                [pidx + 1, flags, prev_idx, prev_rank, next_idx, next_rank]
-            )
+            v = node_paths[n]
+            # create_step: record pushed with is_start=is_end=1
+            i0 = encode(n, n)
+            v.push(int(path_of_step[s]) + 1)
+            v.push(int(revs[s]) | 6)
+            v.push(i0)
+            v.push(0)
+            v.push(i0)
+            v.push(0)
+            if r > 0:
+                pn = int(ranks[s - 1])
+                pv = node_paths[pn]
+                pr = int(local_rank[s - 1]) * 6
+                # link_steps: from-node next fields, then to-node prev
+                pv.set(pr + 4, encode(pn, n))
+                pv.set(pr + 5, int(local_rank[s]))
+                pv.set(pr + 1, pv.vals[pr + 1] & ~4)
+                mr = int(local_rank[s]) * 6
+                v.set(mr + 2, encode(n, pn))
+                v.set(mr + 3, int(local_rank[s - 1]))
+                v.set(mr + 1, v.vals[mr + 1] & ~2)
 
-        # per-node edge lists (both sides; self-loops once)
-        node_edges: List[List[int]] = [[] for _ in range(N)]
+        # decoding vectors: final deltas in first-use order
+        node_dec = [_HackedVector() for _ in range(N)]
+        for n in range(N):
+            nid = int(node_ids[n])
+            for other in node_dec_order[n]:
+                oid = int(node_ids[other])
+                if oid == nid:
+                    delta = 0
+                elif oid > nid:
+                    delta = ((oid - nid) << 1) | 1
+                else:
+                    delta = (nid - oid) << 1
+                node_dec[n].push(delta)
+
+        # edges vectors: replay create_edge in edge-array order
+        node_edges = [_HackedVector() for _ in range(N)]
         for fh, th in zip(g.edge_from, g.edge_to):
             fn, fr = int(fh) >> 1, int(fh) & 1
             tn, tr = int(th) >> 1, int(th) & 1
-            node_edges[fn].extend([int(node_ids[tn]), tr | (fr << 1)])
+            v = node_edges[fn]
+            v.push(int(node_ids[tn]))
+            v.push(tr | (fr << 1))
             if fn != tn:
-                node_edges[tn].extend(
-                    [int(node_ids[fn]), fr | (tr << 1) | 4]
-                )
+                v = node_edges[tn]
+                v.push(int(node_ids[fn]))
+                v.push(fr | (tr << 1) | 4)
 
         for n in range(N):
             sq = g.node_seq(n)
             out.write(struct.pack("<Q", len(sq)))
             out.write(sq)
             out.write(struct.pack("<Q", int(node_ids[n])))
-            _write_hacked_vector(out, np.array(node_edges[n], dtype=np.uint64))
-            dec_list = list(node_dec[n].keys())
-            _write_hacked_vector(out, np.array(dec_list, dtype=np.uint64))
-            _write_hacked_vector(out, np.array(node_paths[n], dtype=np.uint64))
+            node_edges[n].write(out)
+            node_dec[n].write(out)
+            node_paths[n].write(out)
 
-        # path metadata
+        # path metadata: step handles pack (id - 1 - id_increment, is_rev)
         po = g.path_offset
         for j in range(P):
             length = int(pc[j])
             if length:
                 f_s = int(po[j])
                 l_s = int(po[j + 1]) - 1
-                f_handle = int(g.step_handle[f_s])
-                l_handle = int(g.step_handle[l_s])
+                f_handle = int(
+                    (node_ids[ranks[f_s]] - 1 - id_increment) << 1
+                ) | int(revs[f_s])
+                l_handle = int(
+                    (node_ids[ranks[l_s]] - 1 - id_increment) << 1
+                ) | int(revs[l_s])
                 f_rank = int(local_rank[f_s])
                 l_rank = int(local_rank[l_s])
             else:

@@ -73,3 +73,15 @@ def test_cli_sniffs_og(tmp_path):
 
     g = load_any(OG_FIXTURE)
     assert g.num_nodes == 3214
+
+
+def test_reencode_byte_identical(og_graph):
+    """save_og(load_og(fixture)) must be BYTE-IDENTICAL to the fixture --
+    the writer replays the reference's construction history, including the
+    reverse-engineered dyn::hacked_vector capacity growth (see
+    io/og_compat._HackedVector; reference: src/odgi.cpp:1636-1686,
+    src/node.cpp:422-436)."""
+    buf = io.BytesIO()
+    save_og(og_graph, buf)
+    with open(OG_FIXTURE, "rb") as f:
+        assert buf.getvalue() == f.read()
