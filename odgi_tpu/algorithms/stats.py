@@ -310,3 +310,166 @@ def weighted_reversing_joins(g: GraphTensors) -> Tuple[np.ndarray, int]:
     )
     per = np.bincount(pair_path[flips], minlength=g.num_paths).astype(np.int64)
     return per, int(per.sum())
+
+
+def links_length_per_nuc(g: GraphTensors) -> Tuple[int, int]:
+    """(total_links_length, total_nucleotides) for -q/--links_length_per_nuc
+    (reference: stats_main.cpp:908-1008): per consecutive step pair, the
+    pangenomic gap between the link's out-side and in-side with four
+    orientation cases; gap links (sort-adjacent node occurrences within the
+    path's own node set) are not counted in the forward/forward ascending
+    case, matching the reference's default."""
+    ai, bi, pair_path = _consecutive_pairs(g)
+    ha, hb = g.step_handle[ai], g.step_handle[bi]
+    ra, rb = handle_rank(ha), handle_rank(hb)
+    reva, revb = handle_is_reverse(ha), handle_is_reverse(hb)
+    pos = g.node_offset.astype(np.int64)
+    ln = g.node_len.astype(np.int64)
+    pa, pb = pos[ra], pos[rb]
+    la, lb = ln[ra], ln[rb]
+    asc = ra <= rb
+
+    # gap-link mask (reference checks it only in the ff-ascending case)
+    gap_mask = np.zeros(len(ai), dtype=bool)
+    for p in range(g.num_paths):
+        lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+        ranks_in_path = np.unique(handle_rank(g.step_handle[lo:hi]))
+        sel = pair_path == p
+        ia = np.searchsorted(ranks_in_path, ra[sel])
+        ib = np.searchsorted(ranks_in_path, rb[sel])
+        gap_mask[sel] = ib == ia + 1
+
+    ff = ~reva & ~revb
+    fr = ~reva & revb
+    rf = reva & ~revb
+    rr = reva & revb
+    d = np.zeros(len(ai), dtype=np.int64)
+    d[ff & asc & ~gap_mask] = (pb - (pa + la))[ff & asc & ~gap_mask]
+    d[ff & ~asc] = (pa - pb + la)[ff & ~asc]
+    d[fr & asc] = (pb + lb - (pa + la))[fr & asc]
+    d[fr & ~asc] = (pa - pb - lb + la)[fr & ~asc]
+    d[rf & asc] = (pb - pa)[rf & asc]
+    d[rf & ~asc] = (pa - pb + la + lb)[rf & ~asc]
+    d[rr & asc] = (pb - pa + la + lb)[rr & asc]
+    d[rr & ~asc] = (pa - (pb + lb))[rr & ~asc]
+    total_nuc = int(ln[handle_rank(g.step_handle)].sum())
+    return int(d.sum()), total_nuc
+
+
+def nondeterministic_edges(g: GraphTensors):
+    """Rows (from, to) as '<id><+/->' strings for -N/--nondeterministic-edges
+    (reference: stats_main.cpp:279-299): outgoing edges from one side whose
+    target nodes start with the same base."""
+    adj = g.adjacency
+    out = []
+    for rank in range(g.num_nodes):
+        nid = g.node_id[rank]
+        for rev in (False, True):
+            h = (rank << 1) | int(rev)
+            targets = adj.neighbors(h)
+            by_base = {}
+            for t in targets:
+                tr = int(t) >> 1
+                trev = bool(int(t) & 1)
+                base = g.node_seq_str(tr, trev)[0] if g.node_len[tr] else ""
+                by_base.setdefault(base, []).append((int(g.node_id[tr]), trev))
+            for base, tos in by_base.items():
+                if len(tos) > 1:
+                    for tid, trev in tos:
+                        out.append(
+                            (
+                                f"{nid}{'-' if rev else '+'}",
+                                f"{tid}{'-' if trev else '+'}",
+                            )
+                        )
+    return out
+
+
+def pangenome_class_counts(g: GraphTensors, delim: str, sample_pos: int):
+    """Per-sample Private/Core/Shell nucleotide counts for -a
+    (reference: stats_main.cpp:337-399): sample name = path name split by
+    `delim` at position `sample_pos`; a node is Private when one sample
+    visits it, Core when all do, Shell otherwise; each class accumulates the
+    node length for every visiting sample.  Returns
+    {sample: (core, private, shell)} in first-appearance order."""
+    samples = []
+    sample_ids = {}
+    path_sample = np.zeros(g.num_paths, dtype=np.int64)
+    for p, name in enumerate(g.path_names):
+        parts = name.split(delim)
+        s = parts[sample_pos] if sample_pos < len(parts) else parts[-1]
+        if s not in sample_ids:
+            sample_ids[s] = len(samples)
+            samples.append(s)
+        path_sample[p] = sample_ids[s]
+    n_samples = len(samples)
+    node = handle_rank(g.step_handle)
+    pairs = np.unique(
+        np.stack([node, path_sample[g.step_path]], axis=1), axis=0
+    )
+    counts = np.bincount(pairs[:, 0], minlength=g.num_nodes)
+    ln = g.node_len.astype(np.int64)
+    core = np.zeros(n_samples, dtype=np.int64)
+    priv = np.zeros(n_samples, dtype=np.int64)
+    shell = np.zeros(n_samples, dtype=np.int64)
+    node_cls = np.where(
+        counts == 1, 0, np.where(counts >= n_samples, 1, 2)
+    )  # 0=priv, 1=core, 2=shell (untouched nodes classified but unused)
+    cls_of_pair = node_cls[pairs[:, 0]]
+    w = ln[pairs[:, 0]]
+    for cls, acc in ((0, priv), (1, core), (2, shell)):
+        m = cls_of_pair == cls
+        acc += np.bincount(pairs[m, 1], weights=w[m], minlength=n_samples).astype(
+            np.int64
+        )
+    return {s: (int(core[i]), int(priv[i]), int(shell[i])) for i, s in enumerate(samples)}
+
+
+def component_is_acyclic(g: GraphTensors, component: np.ndarray) -> bool:
+    """Kahn sweep with orientation consistency, the reference's
+    is_nice_and_acyclic (reference: src/algorithms/cover.cpp:8-77): start
+    from forward handles with zero left-degree; successors must always be
+    reached in one consistent orientation and every component node must be
+    consumed."""
+    adj = g.adjacency
+
+    def left_degree(handle: int) -> int:
+        # going left from h = following right from flip(h)
+        return len(adj.neighbors(handle ^ 1))
+
+    comp = set(int(r) for r in component)
+    indeg = {}
+    orient = {}
+    stack = []
+    found = 0
+    for r in comp:
+        d = left_degree(r << 1)
+        indeg[r] = d
+        if d == 0:
+            orient[r] = False
+            stack.append(r << 1)
+            found += 1
+    while stack:
+        h = stack.pop()
+        for t in adj.neighbors(h):
+            tr = int(t) >> 1
+            trev = bool(int(t) & 1)
+            if tr not in comp:
+                continue
+            if tr not in orient:
+                orient[tr] = trev
+                indeg[tr] = left_degree((tr << 1) | int(trev))
+            elif orient[tr] != trev:
+                return False
+            indeg[tr] -= 1
+            if indeg[tr] == 0:
+                stack.append((tr << 1) | int(trev))
+                found += 1
+    return found == len(comp)
+
+
+def unique_self_loop_nodes(g: GraphTensors) -> int:
+    """Number of distinct nodes with a self loop
+    (reference: stats_main.cpp:255-274 'unique' row)."""
+    same = handle_rank(g.edge_from) == handle_rank(g.edge_to)
+    return int(np.unique(handle_rank(g.edge_from[same])).size)

@@ -78,86 +78,280 @@ def cmd_validate(args):
 
 
 def cmd_stats(args):
+    """`odgi stats` driver with the reference's full flag surface
+    (reference: src/subcommand/stats_main.cpp:34-79 flags; output formats
+    :181-1008 — TSV and YAML (-y) / MultiQC (-m) modes)."""
+    import os as _os
+
     from ..algorithms import stats
     from ..algorithms.components import num_self_loops, weak_components
-    from ..algorithms.topological import head_nodes
 
     g = load_any(args.input)
+    yaml = bool(args.yaml or args.multiqc)
+    mqc = bool(args.multiqc)
     xy = None
     if args.coords_in:
         from ..io.lay import load_layout
 
         coords = load_layout(args.coords_in)
         xy = (coords[:, 0], coords[:, 1])
-    if args.summarize:
+
+    a_delim = a_pos = None
+    if args.pangenome_sequence_class_counts:
+        parts = args.pangenome_sequence_class_counts.split(",")
+        if len(parts) != 2:
+            print(
+                "[odgi::stats] error: Argument for -a,"
+                "--pangenome-sequence-classes malformed. Please follow "
+                "DEL,POS.",
+                file=sys.stderr,
+            )
+            return 1
+        a_delim, a_pos = parts[0], int(parts[1])
+
+    no_args = not any(
+        [
+            args.weakly_connected_components, args.self_loops,
+            args.nondeterministic_edges, args.base_content, args.delim,
+            args.file_size, args.pangenome_sequence_class_counts,
+            args.mean_links_length, args.no_gap_links,
+            args.sum_path_nodes_distances,
+            args.penalize_different_orientation, args.path_statistics,
+            args.weighted_feedback_arc, args.weighted_reversing_join,
+            args.links_length_per_nuc, args.multiqc, args.yaml,
+        ]
+    )
+
+    if yaml:
+        print("---")
+
+    if args.summarize or mqc or no_args:
         s = stats.summary(g)
-        print("#length\tnodes\tedges\tpaths\tsteps")
-        print(
-            f"{s['length']}\t{s['nodes']}\t{s['edges']}\t{s['paths']}\t{s['steps']}"
-        )
-    if args.weakly_connected_components:
+        if yaml:
+            for k in ("length", "nodes", "edges", "paths", "steps"):
+                print(f"{k}: {s[k]}")
+        else:
+            print("#length\tnodes\tedges\tpaths\tsteps")
+            print(
+                f"{s['length']}\t{s['nodes']}\t{s['edges']}\t{s['paths']}\t{s['steps']}"
+            )
+
+    if args.weakly_connected_components or mqc:
         comps = weak_components(g)
-        print(f"##num_weakly_connected_components: {len(comps)}")
-        print("#component\tnodes")
+        if yaml:
+            print(f"num_weakly_connected_components: {len(comps)}")
+            print("weakly_connected_components: ")
+        else:
+            print(f"##num_weakly_connected_components: {len(comps)}")
+            print("#component\tnodes\tis_acyclic")
         for i, c in enumerate(comps):
-            print(f"{i}\t{len(c)}")
-    if args.self_loops:
-        print(f"#type\tnum")
-        print(f"total\t{num_self_loops(g)}")
-    if args.base_content:
+            acyc = stats.component_is_acyclic(g, c)
+            if yaml:
+                print("  - component:")
+                print(f"      id: {i}")
+                print(f"      nodes: {len(c)}")
+                print(f"      is_acyclic: {chr(39)}yes{chr(39)}" if acyc else f"      is_acyclic: {chr(39)}no{chr(39)}")
+            else:
+                print(f"{i}\t{len(c)}\t{'yes' if acyc else 'no'}")
+
+    if args.self_loops or mqc:
+        total = num_self_loops(g)
+        uniq = stats.unique_self_loop_nodes(g)
+        if yaml:
+            print("num_nodes_self_loops:")
+            print(f"  total: {total}")
+            print(f"  unique: {uniq}")
+        else:
+            print("#type\tnum")
+            print(f"total\t{total}")
+            print(f"unique\t{uniq}")
+
+    if args.nondeterministic_edges and not yaml:
+        print("#from_node\tto_node")
+        for frm, to in stats.nondeterministic_edges(g):
+            print(f"{frm}\t{to}")
+
+    if args.base_content or mqc:
         for base, count in sorted(stats.base_content(g).items()):
-            print(f"{base}\t{count}")
-    if args.mean_links_length:
+            print(f"{base}: {count}" if yaml else f"{base}\t{count}")
+
+    if args.file_size or mqc:
+        try:
+            fsize = _os.path.getsize(args.input)
+        except OSError as e:
+            print(f"[odgi::stats] error: {args.input} : {e}", file=sys.stderr)
+            return 1
+        print(f"file_size_in_bytes: {fsize}" if yaml else f"{fsize}")
+
+    if a_delim is not None:
+        cc = stats.pangenome_class_counts(g, a_delim, a_pos)
+        if yaml:
+            print("pangenome_sequence_class_counts:")
+            for name, (core, priv, shell) in cc.items():
+                print("  - sample: ")
+                print(f"      name: {name}")
+                print(f"      core: {core}")
+                print(f"      private: {priv}")
+                print(f"      shell: {shell}")
+        else:
+            print("#name\tcore\tprivate\tshell")
+            for name, (core, priv, shell) in cc.items():
+                print(f"{name}\t{core}\t{priv}\t{shell}")
+
+    if args.mean_links_length or mqc:
         m = stats.mean_links_length(
             g, xy=xy, penalize_gap_links=not args.no_gap_links
         )
-        print("#mean_links_length")
-        if xy is not None:
-            print("path\tin_2D_space\tnum_links_considered")
-            print(f"all_paths\t{_g(m.all_2d)}\t{m.all_num_links}")
+        in_2d = xy is not None
+        if yaml:
+            print("mean_links_length:")
         else:
-            hdr = "path\tin_node_space\tin_nucleotide_space\tnum_links_considered"
-            if args.no_gap_links:
-                hdr += "\tnum_gap_links_not_penalized"
-            print(hdr)
-            row = f"all_paths\t{_g(m.all_node_space)}\t{_g(m.all_nt_space)}\t{m.all_num_links}"
-            if args.no_gap_links:
-                row += f"\t{m.all_num_gap_links}"
-            print(row)
-    if args.sum_path_nodes_distances:
+            print("#mean_links_length")
+            if in_2d:
+                print("path\tin_2D_space\tnum_links_considered")
+            else:
+                hdr = "path\tin_node_space\tin_nucleotide_space\tnum_links_considered"
+                if args.no_gap_links:
+                    hdr += "\tnum_gap_links_not_penalized"
+                print(hdr)
+
+        def links_row(name, node_sp, nt_sp, d2, nl, ngl, is_all):
+            if yaml:
+                print("  - length:")
+                print(f"      path: {name}")
+                if in_2d:
+                    print(f"      in_2D_space: {_g(d2)}")
+                else:
+                    print(f"      in_node_space: {_g(node_sp)}")
+                    print(f"      in_nucleotide_space: {_g(nt_sp)}")
+                print(f"      num_links_considered: {nl}")
+                if args.no_gap_links or (mqc and is_all):
+                    print(f"      num_gap_links_not_penalized: {ngl}")
+            else:
+                if in_2d:
+                    print(f"{name}\t{_g(d2)}\t{nl}")
+                else:
+                    row = f"{name}\t{_g(node_sp)}\t{_g(nt_sp)}\t{nl}"
+                    if args.no_gap_links:
+                        row += f"\t{ngl}"
+                    print(row)
+
+        if args.path_statistics:
+            for p in range(g.num_paths):
+                links_row(
+                    g.path_names[p],
+                    m.per_path_node_space[p],
+                    m.per_path_nt_space[p],
+                    m.per_path_2d[p] if in_2d else None,
+                    int(m.per_path_num_links[p]),
+                    int(m.per_path_num_gap_links[p]),
+                    False,
+                )
+        links_row(
+            "all_paths", m.all_node_space, m.all_nt_space, m.all_2d,
+            m.all_num_links, m.all_num_gap_links, True,
+        )
+
+    if args.sum_path_nodes_distances or mqc:
         d = stats.sum_of_path_node_distances(
             g, xy=xy, penalize_diff_orientation=args.penalize_different_orientation
         )
-        print("#sum_of_path_node_distances")
-        if xy is not None:
-            hdr = "path\tin_2D_space_by_nodes\tin_2D_space_by_nucleotides\tnodes\tnucleotides"
+        in_2d = xy is not None
+        if yaml:
+            print("sum_of_path_node_distances:")
         else:
-            hdr = "path\tin_node_space\tin_nucleotide_space\tnodes\tnucleotides\tnum_penalties"
-        if args.penalize_different_orientation:
-            hdr += "\tnum_penalties_different_orientation"
-        print(hdr)
-        if xy is not None:
-            row = (
-                f"all_paths\t{_g(d.all_2d_by_nodes)}\t{_g(d.all_2d_by_nucleotides)}"
-                f"\t{int(d.per_path_nodes.sum())}\t{int(d.per_path_nucleotides.sum())}"
-            )
-        else:
-            row = (
-                f"all_paths\t{_g(d.all_node_space)}\t{_g(d.all_nt_space)}"
-                f"\t{int(d.per_path_nodes.sum())}\t{int(d.per_path_nucleotides.sum())}"
-                f"\t{d.all_num_penalties}"
-            )
-        if args.penalize_different_orientation:
-            row += f"\t{d.all_num_penalties_diff_orientation}"
-        print(row)
+            print("#sum_of_path_node_distances")
+            if in_2d:
+                hdr = "path\tin_2D_space_by_nodes\tin_2D_space_by_nucleotides\tnodes\tnucleotides"
+            else:
+                hdr = "path\tin_node_space\tin_nucleotide_space\tnodes\tnucleotides\tnum_penalties"
+            if args.penalize_different_orientation:
+                hdr += "\tnum_penalties_different_orientation"
+            print(hdr)
+
+        def dist_row(name, node_sp, nt_sp, d2n, d2nt, nodes, nts, pen, pend, is_all):
+            if yaml:
+                print("  - distance:")
+                print(f"      path: {name}")
+                if in_2d:
+                    print(f"      in_2D_space_by_nodes: {_g(d2n)}")
+                    print(f"      in_2D_space_by_nucleotides: {_g(d2nt)}")
+                    print(f"      nodes: {nodes}")
+                    print(f"      nucleotides: {nts}")
+                else:
+                    print(f"      in_node_space: {_g(node_sp)}")
+                    print(f"      in_nucleotide_space: {_g(nt_sp)}")
+                    print(f"      nodes: {nodes}")
+                    print(f"      nucleotides: {nts}")
+                    print(f"      num_penalties: {pen}")
+                if args.penalize_different_orientation or (mqc and is_all):
+                    print(f"      num_penalties_different_orientation: {pend}")
+            else:
+                if in_2d:
+                    row = f"{name}\t{_g(d2n)}\t{_g(d2nt)}\t{nodes}\t{nts}"
+                else:
+                    row = f"{name}\t{_g(node_sp)}\t{_g(nt_sp)}\t{nodes}\t{nts}\t{pen}"
+                if args.penalize_different_orientation:
+                    row += f"\t{pend}"
+                print(row)
+
+        if args.path_statistics:
+            for p in range(g.num_paths):
+                dist_row(
+                    g.path_names[p],
+                    d.per_path_node_space[p],
+                    d.per_path_nt_space[p],
+                    d.per_path_2d[p] if in_2d else None,
+                    (
+                        d.per_path_2d[p]
+                        * d.per_path_nodes[p]
+                        / max(int(d.per_path_nucleotides[p]), 1)
+                        if in_2d
+                        else None
+                    ),
+                    int(d.per_path_nodes[p]),
+                    int(d.per_path_nucleotides[p]),
+                    int(d.per_path_num_penalties[p]),
+                    int(d.per_path_num_penalties_diff_orientation[p]),
+                    False,
+                )
+        dist_row(
+            "all_paths", d.all_node_space, d.all_nt_space,
+            d.all_2d_by_nodes, d.all_2d_by_nucleotides,
+            int(d.per_path_nodes.sum()), int(d.per_path_nucleotides.sum()),
+            d.all_num_penalties, d.all_num_penalties_diff_orientation, True,
+        )
+
     if args.weighted_feedback_arc:
-        _, total = stats.weighted_feedback_arcs(g)
-        print("path\tweighted_feedback_arc")
-        print(f"all_paths\t{total}")
+        per, total = stats.weighted_feedback_arcs(g)
+        if yaml:
+            print(f"weighted_feedback_arc: {total}")
+        else:
+            print("path\tweighted_feedback_arc")
+            if args.path_statistics:
+                for p in range(g.num_paths):
+                    print(f"{g.path_names[p]}\t{int(per[p])}")
+            print(f"all_paths\t{total}")
+
     if args.weighted_reversing_join:
-        _, total = stats.weighted_reversing_joins(g)
-        print("path\tweighted_reversing_join")
-        print(f"all_paths\t{total}")
+        per, total = stats.weighted_reversing_joins(g)
+        if yaml:
+            print(f"weighted_reversing_join: {total}")
+        else:
+            print("path\tweighted_reversing_join")
+            if args.path_statistics:
+                for p in range(g.num_paths):
+                    print(f"{g.path_names[p]}\t{int(per[p])}")
+            print(f"all_paths\t{total}")
+
+    if args.links_length_per_nuc:
+        links_len, nucs = stats.links_length_per_nuc(g)
+        ratio = links_len / nucs if nucs else 0.0
+        if yaml:
+            print(f"links_length_per_nuc: {_g(ratio)}")
+        else:
+            print("path\tlinks_length_per_nuc")
+            print(f"all_paths\t{_g(ratio)}")
     return 0
 
 
@@ -323,6 +517,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", "--weighted-feedback-arc", action="store_true")
     p.add_argument("-j", "--weighted-reversing-join", action="store_true")
     p.add_argument("-c", "--coords-in", default=None)
+    p.add_argument("-p", "--path-statistics", action="store_true")
+    p.add_argument("-m", "--multiqc", action="store_true")
+    p.add_argument("-y", "--yaml", action="store_true")
+    p.add_argument("-f", "--file-size", action="store_true")
+    p.add_argument("-a", "--pangenome-sequence-class-counts", default=None)
+    p.add_argument("-D", "--delim", default=None)
+    p.add_argument("-q", "--links_length_per_nuc", "--links-length-per-nuc",
+                   dest="links_length_per_nuc", action="store_true")
+    p.add_argument("-N", "--nondeterministic-edges", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("sort", help="sort the graph")

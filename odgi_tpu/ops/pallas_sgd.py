@@ -1,44 +1,56 @@
 """Fused Pallas TPU kernel for the PG-SGD 2D layout hot loop.
 
-The XLA formulation in ops/sgd.py is memory-bound: each factored one-hot
-gather/scatter (ops/scatter.py) materializes (B, 128, C) intermediates in
-HBM (~150 MB per batch), capping DRB1 throughput at ~45M pair-updates/s.
-This kernel fuses one whole update batch on-chip:
+The entire layout optimization (all iterations, all batches) runs as ONE
+`pallas_call`: coordinates live in the revisited VMEM output block for the
+whole run, update accumulators live in VMEM scratch, and the step table is
+VMEM-resident — zero HBM round-trips between the first and last pair
+update.  This replaces the per-iteration CUDA kernel-launch loop of the
+SC'24 GPU port (reference: src/cuda/layout.cu:442-447).
 
-- The step table ("A" planes, one row per step in a fixed random
-  permutation) streams HBM->VMEM chunk by chunk via scalar-prefetch block
-  index maps — the sequential first-step walk of ops/sgd.py, unchanged.
-- Zipf zeta/eta constants are DENORMALIZED per step (forward and backward
-  jump spaces are functions of rank/count only), so the kernel does zero
-  table lookups for Zipf sampling; values are bit-identical to the
-  reference's quantized zeta table (reference: src/algorithms/
-  path_sgd.cpp:124-138 — same quantization, same f32 rounding).
-- The partner ("B") table in true step order and the coordinate planes are
-  VMEM-resident for the whole batch; second-step rows and coordinate
-  endpoints are gathered with factored one-hot matmuls that never leave
-  VMEM, and the scatter-mean accumulator is the transposed matmul, summed
-  across grid chunks in the revisited output block.
-- RNG is the TPU core PRNG (pltpu.prng_*), seeded per (batch, chunk):
-  our documented deterministic contract for the Pallas path (the
-  reference's Hogwild threads are nondeterministic anyway; only converged
-  stress is comparable — reference: src/algorithms/path_sgd.cpp:208-209).
+The design is shaped by what a TPU can and cannot do fast:
+
+- **No random memory access**: the reference's per-term random step pair
+  (reference: src/algorithms/path_sgd_layout.cpp:100-377, layout.cu:190-287)
+  would need two random gathers per term.  Instead each CHUNK of 1024
+  pairs shares ONE jump distance D drawn from the same quantized-zeta Zipf
+  distribution (reference: path_sgd.cpp:124-138; closed-form inverse as in
+  cuda_rnd_zipf, layout.cu:89-113): the pairs are (step[o+i], step[o+i+D])
+  for a random 128-aligned window offset o, so BOTH sides of every pair
+  are contiguous VMEM slices (the partner side is a dynamic lane-rotate by
+  D mod 128 — a single-cycle vector op).  Pairs that cross a path boundary
+  are masked invalid; the surviving conditional distribution of D given a
+  step's position equals the reference's end-clamped Zipf (truncation and
+  renormalization commute).  Stratifying the Zipf draw per chunk was
+  validated to CONVERGE BETTER than the fixture: DRB1 default stress ~1.24
+  vs fixture 1.2855 (guarded by tests and bench.py's assertion).
+- **Pre-cooling uniform terms** (reference: path_sgd.cpp:274-279) use a
+  uniform jump D ~ U[1, space) with the same masking; after cooling all
+  chunks are Zipf, as in the CUDA port (layout.cu:239).
+- **Coordinate gather/scatter ride the MXU** as factored one-hot matmuls
+  (one (1024, ch) @ (ch, 256) gather and its transpose per endpoint side);
+  with the strata trick removing the step-table gather, these are the only
+  "random access" left and they are batched systolic work.
+- Hogwild merging (reference: "try until we succeed. risky.",
+  path_sgd.cpp:367-375) becomes a per-endpoint mean-merge applied at batch
+  boundaries (nch chunks per batch), the same batched-update contract as
+  ops/sgd.py.
+
+RNG is the TPU core PRNG seeded per (seed, global_chunk): deterministic
+for fixed config — our documented contract for this path (the reference's
+Hogwild threads are nondeterministic anyway; only converged stress is
+comparable — reference: path_sgd.cpp:208-209).
 
 Update math is identical to ops/sgd.py (reference: src/cuda/layout.cu:
-141-287): mu = min(eta/d, 1); Delta = mu*(mag - d)/2; conflicting updates
-within a batch merge by per-endpoint mean.
-
-Memory layout (lane = 128):
-  ai: (6, S_pad/128, 128) i32 planes [lo, rank, count, pos, pos_end, handle]
-  af: (4, S_pad/128, 128) f32 planes [zeta_fwd, eta_fwd, zeta_bwd, eta_bwd]
-  tb: (Bh, 384) f32 — partner rows: lanes [0:128)=pos, [128:256)=pos_end,
-      [256:384)=handle for step h*128+l (all values < 2^24, f32-exact)
-  coords: (Ch, 256) f32 — endpoint 128*h+l at row h, lanes l (x), 128+l (y)
-  acc out: (Ch, 384) f32 — [dx_sum, dy_sum, count] per endpoint
+141-188): mu = min(eta/d, 1); Delta = mu*(mag - d)/2; head/tail endpoint
+choice with orientation fix-up (layout.cu:251-281); the learning-rate
+schedule is computed in-kernel from the exact closed form of
+path_linear_sgd_schedule (reference: path_sgd.cpp:466-501).
 """
 
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -53,10 +65,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .zipf import zeta_eta_table
 
 LANE = 128
-CHUNK = 1024           # pairs per grid step
-RC = CHUNK // LANE     # sublane rows per chunk slice
-
-_AI_LO, _AI_RANK, _AI_COUNT, _AI_POS, _AI_POSEND, _AI_HANDLE = range(6)
+RC = 8                 # sublane rows per chunk
+CHUNK = RC * LANE      # 1024 pairs per chunk (one shared jump distance)
+_POS, _POSEND, _HANDLE, _PATH = range(4)
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -65,114 +76,67 @@ def _pad_to(n: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["ai", "af", "tb"],
-    meta_fields=["num_steps", "s_pad", "bh", "ch", "num_nodes"],
+    data_fields=["planes"],
+    meta_fields=["num_steps", "n_blocks", "ch", "num_nodes", "space"],
 )
 @dataclass(frozen=True)
 class PallasSgdData:
-    ai: jnp.ndarray
-    af: jnp.ndarray
-    tb: jnp.ndarray
+    """Device-resident step planes for the strata kernel (pytree).
+
+    planes: i32 (4, PR, 128) — [pos, pos_end, handle, path_id] in TRUE step
+        order (row r lane l = step r*128+l), with the tail region past S
+        carrying path_id = -1 so window portions past the end mask out via
+        the same path compare that masks cross-path pairs (no modular
+        arithmetic anywhere; windows starting near S simply yield fewer
+        valid pairs, like windows at path boundaries).  This flattening is
+        the `element_array` model of the CUDA port (reference:
+        src/cuda/layout.cu:345-410) minus its per-element path
+        back-pointers, which the window construction makes redundant.
+    """
+
+    planes: jnp.ndarray
     num_steps: int
-    s_pad: int
-    bh: int       # partner-table sublane rows (= ceil(S/128) padded to 8)
-    ch: int       # coordinate sublane rows (= ceil(2N/128) padded to 8)
+    n_blocks: int   # valid 128-aligned window start blocks (= ceil(S/128))
+    ch: int         # coordinate sublane rows (= ceil(2N/128) padded to 8)
     num_nodes: int
+    space: int
 
     @staticmethod
-    def build(
-        g,
-        theta: float,
-        space: int,
-        space_max: int,
-        quant_step: int,
-        perm_seed: int = 421,
-    ) -> "PallasSgdData":
+    def build(g, space: int) -> "PallasSgdData":
         S = g.num_steps
         handle = g.step_handle.astype(np.int64)
         node = handle >> 1
         pos = g.step_pos.astype(np.int64)
         pos_end = pos + g.node_len[node]
-        lo = g.path_offset[g.step_path].astype(np.int64)
-        rank = np.arange(S, dtype=np.int64) - lo
-        count = g.path_step_count[g.step_path].astype(np.int64)
+        path_id = g.step_path.astype(np.int64)
 
-        # zeta/eta per step for both jump directions, from the SAME
-        # quantized table as the XLA path (bit-identical values).
-        ze = zeta_eta_table(space, space_max, quant_step, theta)
-
-        def ze_at(s):
-            s = np.maximum(s, 1)
-            idx = np.where(
-                s > space_max, space_max + 1 + (s - space_max) // quant_step, s
-            )
-            idx = np.minimum(idx, len(ze) - 1)
-            return ze[idx]
-
-        sp_f = np.minimum(space, count - 1 - rank)
-        sp_b = np.minimum(space, rank)
-        ze_f = ze_at(sp_f)
-        ze_b = ze_at(sp_b)
-
-        s_pad = max(_pad_to(S, CHUNK), CHUNK)
-        ai = np.zeros((6, s_pad), np.int32)
-        af = np.ones((4, s_pad), np.float32)
-        ai[_AI_COUNT] = 1  # padding rows: count=1 -> invalid, masked
-        ai[_AI_LO, :S] = lo
-        ai[_AI_RANK, :S] = rank
-        ai[_AI_COUNT, :S] = count
-        ai[_AI_POS, :S] = pos
-        ai[_AI_POSEND, :S] = pos_end
-        ai[_AI_HANDLE, :S] = handle
-        af[0, :S] = ze_f[:, 0]
-        af[1, :S] = ze_f[:, 1]
-        af[2, :S] = ze_b[:, 0]
-        af[3, :S] = ze_b[:, 1]
-        perm = np.random.default_rng(perm_seed).permutation(S)
-        ai[:, :S] = ai[:, :S][:, perm]
-        af[:, :S] = af[:, :S][:, perm]
-
-        bh = _pad_to(max(-(-S // LANE), 1), 8)
-        tb = np.zeros((bh, 3 * LANE), np.float32)
-        flat = np.zeros((3, bh * LANE), np.float32)
-        flat[0, :S] = pos
-        flat[1, :S] = pos_end
-        flat[2, :S] = handle
-        tb[:, 0:LANE] = flat[0].reshape(bh, LANE)
-        tb[:, LANE : 2 * LANE] = flat[1].reshape(bh, LANE)
-        tb[:, 2 * LANE :] = flat[2].reshape(bh, LANE)
+        pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, RC * LANE)
+        pl4 = np.zeros((4, pad), np.int32)
+        pl4[_PATH] = -1
+        pl4[_POS, :S] = pos
+        pl4[_POSEND, :S] = pos_end
+        pl4[_HANDLE, :S] = handle
+        pl4[_PATH, :S] = path_id
 
         ch = _pad_to(max(-(-2 * g.num_nodes // LANE), 1), 8)
         return PallasSgdData(
-            ai=jnp.asarray(ai.reshape(6, s_pad // LANE, LANE)),
-            af=jnp.asarray(af.reshape(4, s_pad // LANE, LANE)),
-            tb=jnp.asarray(tb),
+            planes=jnp.asarray(pl4.reshape(4, pad // LANE, LANE)),
             num_steps=S,
-            s_pad=s_pad,
-            bh=bh,
+            n_blocks=max(1, -(-S // LANE)),
             ch=ch,
             num_nodes=g.num_nodes,
+            space=space,
         )
-
-    def supported(self) -> bool:
-        """VMEM-resident partner table + coords must fit comfortably."""
-        vmem = (self.bh * 384 + self.ch * (256 + 384)) * 4
-        exact = (
-            self.s_pad * LANE < 2**24  # handles/positions f32-exact
-        )
-        return vmem < 8 * 1024 * 1024 and exact
 
 
 def coords_to_planes(coords: np.ndarray, ch: int) -> np.ndarray:
-    """(2N, 2) f32 -> (Ch, 256) plane layout."""
+    """(2N, 2) f32 -> (ch, 256) plane layout (x lanes 0:128, y 128:256)."""
     m = coords.shape[0]
     x = np.zeros(ch * LANE, np.float32)
     y = np.zeros(ch * LANE, np.float32)
     x[:m] = coords[:, 0]
     y[:m] = coords[:, 1]
-    return np.concatenate(
-        [x.reshape(ch, LANE), y.reshape(ch, LANE)], axis=1
-    )
+    return np.concatenate([x.reshape(ch, LANE), y.reshape(ch, LANE)], axis=1)
 
 
 def planes_to_coords(planes: np.ndarray, m: int) -> np.ndarray:
@@ -181,226 +145,356 @@ def planes_to_coords(planes: np.ndarray, m: int) -> np.ndarray:
     return np.stack([x, y], axis=1)
 
 
-def _make_batch_kernel(cfg, data: PallasSgdData, nchunks: int, interpret: bool):
-    theta = cfg.theta
-    alpha = 1.0 / (1.0 - theta)
-    half_pow_theta = float(0.5**theta)
-    space_f = float(cfg.space)
-    bh, ch = data.bh, data.ch
-    n_rcblk = data.s_pad // CHUNK
+def _zeta_consts(cfg, space: int):
+    """(zeta(space), eta(space)) from the same quantized table as the XLA
+    path (bit-identical values; reference: path_sgd.cpp:124-138)."""
+    ze = zeta_eta_table(
+        space, cfg.space_max, cfg.space_quantization_step, cfg.theta
+    )
+    if space > cfg.space_max:
+        zi = cfg.space_max + 1 + (space - cfg.space_max) // cfg.space_quantization_step
+    else:
+        zi = space
+    zi = min(zi, len(ze) - 1)
+    return float(ze[zi, 0]), float(ze[zi, 1])
 
-    def kernel(sref, eref, ai_ref, af_ref, tb_ref, co_ref, acc_ref):
+
+def _kernel_consts(cfg, data: "PallasSgdData"):
+    """Static constants shared by both kernel variants."""
+    space = int(data.space)
+    zeta_n, eta_z = _zeta_consts(cfg, space)
+    eta_lr_max = float(cfg.eta_max)
+    eta_lr_min = float(cfg.eps)
+    lam = (
+        math.log(eta_lr_max / eta_lr_min) / (cfg.iter_max - 1)
+        if cfg.iter_max > 1
+        else 0.0
+    )
+    return dict(
+        theta=cfg.theta,
+        alpha=1.0 / (1.0 - cfg.theta),
+        half_pow_theta=float(0.5**cfg.theta),
+        space=space,
+        zeta_n=zeta_n,
+        eta_z=eta_z,
+        eta_lr_max=eta_lr_max,
+        eta_lr_min=eta_lr_min,
+        lam=lam,
+        t_peak=int(cfg.iter_with_max_learning_rate),
+        first_cooling=cfg.first_cooling_iteration,
+        ch=data.ch,
+        n_blocks=data.n_blocks,
+    )
+
+
+_ABLATE = os.environ.get("ODGI_TPU_PALLAS_ABLATE", "")
+
+
+def _chunk_acc(k, seed, gchunk, it, planes_ref, co):
+    """One chunk of CHUNK pair updates: returns the (ch, 3*LANE) dense
+    [dx_sum | dy_sum | count] accumulator.  `k` holds _kernel_consts."""
+    ch = k["ch"]
+    space = k["space"]
+    two24 = float(2.0**-24)
+
+    pltpu.prng_seed(seed + gchunk * 7919)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((2, RC, LANE)), jnp.int32)
+    w0, w1 = bits[0], bits[1]
+
+    def u24(word):
+        return ((word >> 8) & 0xFFFFFF).astype(jnp.float32) * two24
+
+    # --- per-chunk scalars: window offset + shared jump distance ---
+    # Pure scalar-core splitmix32 hash of (seed, gchunk): avoids a
+    # vector->scalar readback stall (a VMEM round-trip per chunk); the
+    # per-PAIR coins stay on the hardware PRNG above.
+    def mix(h):
+        h = (h ^ jax.lax.shift_right_logical(h, 16)) * (-2048144789)
+        h = (h ^ jax.lax.shift_right_logical(h, 13)) * (-1028477387)
+        return h ^ jax.lax.shift_right_logical(h, 16)
+
+    h0 = mix(gchunk * (-1640531527) + seed)
+    h1 = mix(h0 + 1779033703)
+    h2 = mix(h1 + (-1150833019))
+    h3 = mix(h2 + 1013904242)
+    u_o = u24(h0)
+    u_z = u24(h1)
+    u_u = u24(h2)
+    o_blk = jnp.floor(u_o * jnp.float32(k["n_blocks"])).astype(jnp.int32)
+    o_blk = jnp.minimum(o_blk, k["n_blocks"] - 1)
+    # dirtyzipf closed-form inverse (reference: src/cuda/layout.cu:89-113)
+    x = jnp.maximum(k["eta_z"] * u_z - k["eta_z"] + 1.0, 1e-30)
+    powx = jnp.exp(jnp.float32(k["alpha"]) * jnp.log(x))
+    uz = u_z * k["zeta_n"]
+    val = jnp.where(
+        uz < 1.0,
+        1.0,
+        jnp.where(uz < 1.0 + k["half_pow_theta"], 2.0, 1.0 + space * powx),
+    )
+    d_zipf = jnp.clip(jnp.floor(val).astype(jnp.int32), 1, space)
+    d_unif = 1 + jnp.floor(
+        u_u * jnp.float32(max(space - 1, 1))
+    ).astype(jnp.int32)
+    use_zipf = jnp.logical_or(it >= k["first_cooling"], (h3 & 1) > 0)
+    D = jnp.where(use_zipf, d_zipf, d_unif)
+
+    # learning rate of this iteration (path_sgd.cpp:466-501)
+    t = it.astype(jnp.float32)
+    eta_lr = k["eta_lr_max"] * jnp.exp(
+        jnp.float32(-k["lam"]) * jnp.abs(t - jnp.float32(k["t_peak"]))
+    )
+    eta_lr = jnp.where(jnp.isfinite(eta_lr), eta_lr, k["eta_lr_min"])
+
+    # --- window slices: A side row-aligned, B side rolled by D%128 ---
+    r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+    c_sh = jnp.bitwise_and(D, LANE - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RC, LANE), 1)
+    keep = lane < (LANE - c_sh)
+
+    def slice_a(p):
+        return planes_ref[p, pl.ds(o_blk, RC), :]
+
+    def slice_b(p):
+        if "nosliceb" in _ABLATE:
+            return planes_ref[p, pl.ds(o_blk + 1, RC), :]
+        rows = planes_ref[p, pl.ds(r0, 2 * RC), :]
+        r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=1)
+        return jnp.where(keep, r1[0:RC], r1[1 : RC + 1])
+
+    pos_a0 = slice_a(_POS)
+    pos_a1 = slice_a(_POSEND)
+    handle_a = slice_a(_HANDLE)
+    path_a = slice_a(_PATH)
+    pos_b0 = slice_b(_POS)
+    pos_b1 = slice_b(_POSEND)
+    handle_b = slice_b(_HANDLE)
+    path_b = slice_b(_PATH)
+    valid = path_a == path_b
+
+    # endpoint choice with orientation fix-up (layout.cu:251-281)
+    ca = w0 & 1
+    cb = w1 & 1
+    pos_a = jnp.where(ca > 0, pos_a1, pos_a0).astype(jnp.float32)
+    pos_b = jnp.where(cb > 0, pos_b1, pos_b0).astype(jnp.float32)
+    ep_a = 2 * (handle_a >> 1) + ((handle_a & 1) ^ ca)
+    ep_b = 2 * (handle_b >> 1) + ((handle_b & 1) ^ cb)
+    vf = valid.astype(jnp.float32)
+
+    # factored one-hots built in 3D and collapsed (Mosaic-supported
+    # relayout); both endpoint sides share one (2*CHUNK, ch) matmul so
+    # the MXU amortizes the (ch, 256) operand load across twice the rows
+    def onehot3(idx, kk):
+        io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
+        return (idx[:, :, None] == io).astype(jnp.float32)
+
+    ep_ab = jnp.concatenate([ep_a, ep_b], axis=0)
+    e_hi = onehot3(ep_ab >> 7, ch).reshape(2 * CHUNK, ch)
+    e_lo3 = onehot3(ep_ab & (LANE - 1), LANE)
+    e_lo = e_lo3.reshape(2 * CHUNK, LANE)
+
+    if "nogather" in _ABLATE:
+        xa = pos_a * 1e-3
+        ya = pos_b * 1e-3
+        xb = pos_b * 1e-3
+        yb = pos_a * 1e-3
+    else:
+        gab = jnp.dot(e_hi, co, preferred_element_type=jnp.float32)
+        x_ab = jnp.sum(
+            gab[:, :LANE] * e_lo, axis=1, keepdims=True
+        ).reshape(2 * RC, LANE)
+        y_ab = jnp.sum(
+            gab[:, LANE:] * e_lo, axis=1, keepdims=True
+        ).reshape(2 * RC, LANE)
+        xa, xb = x_ab[:RC], x_ab[RC:]
+        ya, yb = y_ab[:RC], y_ab[RC:]
+
+    # update math (reference: src/cuda/layout.cu:141-188)
+    term = jnp.maximum(jnp.abs(pos_a - pos_b), 1e-9)
+    mu = jnp.minimum(eta_lr / term, 1.0)
+    dx = xa - xb
+    dx = jnp.where(dx == 0.0, 1e-9, dx)
+    dy = ya - yb
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    delta = mu * (mag - term) / 2.0
+    r = jnp.where(valid, delta / mag, 0.0)
+    rx = r * dx
+    ry = r * dy
+
+    if "noscatter" in _ABLATE:
+        z = jnp.zeros((ch, 3 * LANE), jnp.float32)
+        return z.at[0, 0].add(jnp.sum(rx) + jnp.sum(ry))
+    rxx = jnp.concatenate([-rx, rx], axis=0)[:, :, None]
+    ryy = jnp.concatenate([-ry, ry], axis=0)[:, :, None]
+    vv = jnp.concatenate([vf, vf], axis=0)[:, :, None]
+    spread = jnp.concatenate(
+        [e_lo3 * rxx, e_lo3 * ryy, e_lo3 * vv], axis=2
+    ).reshape(2 * CHUNK, 3 * LANE)
+    return jax.lax.dot_general(
+        e_hi,
+        spread,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _make_kernel(cfg, data: PallasSgdData, nch: int, num_batches: int):
+    """Mega-grid kernel: the whole run in one pallas_call."""
+    k = _kernel_consts(cfg, data)
+    ch = k["ch"]
+
+    def kernel(seed_ref, planes_ref, cin_ref, out_ref, acc_ref):
+        it = pl.program_id(0)
+        b = pl.program_id(1)
+        c = pl.program_id(2)
+        gchunk = (it * num_batches + b) * nch + c
+
+        @pl.when(gchunk == 0)
+        def _():
+            out_ref[:] = cin_ref[:]
+
+        @pl.when(c == 0)
+        def _():
+            acc_ref[:] = jnp.zeros((ch, 3 * LANE), jnp.float32)
+
+        acc = _chunk_acc(k, seed_ref[0], gchunk, it, planes_ref, out_ref[:])
+        acc_ref[:] = acc_ref[:] + acc
+
+        # batch boundary: apply the per-endpoint mean merge
+        @pl.when(c == nch - 1)
+        def _():
+            cnt = jnp.maximum(acc_ref[:, 2 * LANE :], 1.0)
+            upd = acc_ref[:, : 2 * LANE] / jnp.concatenate([cnt, cnt], axis=1)
+            out_ref[:] = out_ref[:] + upd
+
+    return kernel
+
+
+def _make_batch_kernel(cfg, data: PallasSgdData, nch: int):
+    """Per-batch kernel: grid=(nch,), invoked once per merge batch from an
+    XLA fori_loop (used when the one-dispatch mega-grid is not wanted)."""
+    k = _kernel_consts(cfg, data)
+    ch = k["ch"]
+
+    def kernel(sarr_ref, planes_ref, cin_ref, out_ref, acc_ref):
         c = pl.program_id(0)
 
         @pl.when(c == 0)
         def _():
             acc_ref[:] = jnp.zeros((ch, 3 * LANE), jnp.float32)
 
-        pltpu.prng_seed(sref[1] + c * 7919)
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((3, RC, LANE)), jnp.int32
-        )
-        w0, w1, w2 = bits[0], bits[1], bits[2]
-        two24 = jnp.float32(2.0**-24)
-        u0 = ((w0 >> 8) & 0xFFFFFF).astype(jnp.float32) * two24
-        u1 = ((w1 >> 8) & 0xFFFFFF).astype(jnp.float32) * two24
-
-        rank = ai_ref[_AI_RANK]
-        cnt = ai_ref[_AI_COUNT]
-        pos_a0 = ai_ref[_AI_POS]
-        pos_a1 = ai_ref[_AI_POSEND]
-        handle_a = ai_ref[_AI_HANDLE]
-        valid = cnt > 1
-
-        coin_zipf = (w0 & 1) > 0
-        coin_dir = (w0 & 2) > 0
-        backward = ((rank > 0) & coin_dir) | (rank == cnt - 1)
-        jump_space = jnp.minimum(
-            jnp.int32(cfg.space), jnp.where(backward, rank, cnt - 1 - rank)
-        )
-        jump_space = jnp.maximum(jump_space, 1)
-        zetan = jnp.where(backward, af_ref[2], af_ref[0])
-        eta_z = jnp.where(backward, af_ref[3], af_ref[1])
-        # dirtyzipf closed-form inverse (reference: src/cuda/layout.cu:89-113)
-        x = jnp.maximum(eta_z * u0 - eta_z + 1.0, 1e-30)
-        powx = jnp.exp(jnp.float32(alpha) * jnp.log(x))
-        uz = u0 * zetan
-        n_f = jump_space.astype(jnp.float32)
-        val = jnp.where(
-            uz < 1.0,
-            1.0,
-            jnp.where(uz < 1.0 + half_pow_theta, 2.0, 1.0 + n_f * powx),
-        )
-        zi = jnp.clip(jnp.floor(val).astype(jnp.int32), 1, jump_space)
-        s2_zipf = jnp.where(backward, rank - zi, rank + zi)
-        s2_unif = jnp.floor(u1 * cnt.astype(jnp.float32)).astype(jnp.int32)
-        use_zipf = coin_zipf | (sref[2] > 0)
-        s2 = jnp.clip(jnp.where(use_zipf, s2_zipf, s2_unif), 0, cnt - 1)
-        row_b = ai_ref[_AI_LO] + s2
-
-        # endpoint + position of the first step (CUDA endpoint fix-up,
-        # reference: src/cuda/layout.cu:251-281); use_other = rev XOR coin
-        ca = w2 & 1
-        node_a = handle_a >> 1
-        pos_a = jnp.where(ca > 0, pos_a1, pos_a0).astype(jnp.float32)
-        ep_a = 2 * node_a + ((handle_a & 1) ^ ca)
-        cb = (w2 >> 1) & 1
-        vf = valid.astype(jnp.float32)
-
-        # Mosaic cannot relayout (RC,128)->(CHUNK,1) directly; one-hots are
-        # built in 3D and collapsed over the leading dims (supported), and
-        # gathered (CHUNK,1) columns reshape back to (RC,128) (supported).
-        def onehot(idx, k):
-            io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
-            return (idx[:, :, None] == io).astype(jnp.float32).reshape(
-                CHUNK, k
-            )
-
-        def col2row(col):
-            return col.reshape(RC, LANE)
-
-        def sel(st, lo_onehot, j):
-            return col2row(
-                jnp.sum(
-                    st[:, j * LANE : (j + 1) * LANE] * lo_onehot,
-                    axis=1,
-                    keepdims=True,
-                )
-            )
-
-        # partner-row gather: (CHUNK,bh)@(bh,384) then lane select
-        e_hi_b = onehot(row_b >> 7, bh)
-        e_lo_b = onehot(row_b & 127, LANE)
-        st = jnp.dot(e_hi_b, tb_ref[:], preferred_element_type=jnp.float32)
-        pos_b0 = sel(st, e_lo_b, 0)
-        pos_b1 = sel(st, e_lo_b, 1)
-        handle_b = sel(st, e_lo_b, 2).astype(jnp.int32)
-        node_b = handle_b >> 1
-        pos_b = jnp.where(cb > 0, pos_b1, pos_b0)
-        eb = 2 * node_b + ((handle_b & 1) ^ cb)
-
-        # coordinate gathers: (CHUNK,ch)@(ch,256) then lane select
-        e_hi_a = onehot(ep_a >> 7, ch)
-        e_lo_a = onehot(ep_a & 127, LANE)
-        sa = jnp.dot(e_hi_a, co_ref[:], preferred_element_type=jnp.float32)
-        xa = sel(sa, e_lo_a, 0)
-        ya = sel(sa, e_lo_a, 1)
-        e_hi_b2 = onehot(eb >> 7, ch)
-        e_lo_b2 = onehot(eb & 127, LANE)
-        sb = jnp.dot(e_hi_b2, co_ref[:], preferred_element_type=jnp.float32)
-        xb = sel(sb, e_lo_b2, 0)
-        yb = sel(sb, e_lo_b2, 1)
-
-        # update math in (RC,128) rows (reference: src/cuda/layout.cu:141-188)
-        term_dist = jnp.maximum(jnp.abs(pos_a - pos_b), 1e-9)
-        eta_lr = eref[0]
-        mu = jnp.minimum(eta_lr / term_dist, 1.0)
-        dx = xa - xb
-        dx = jnp.where(dx == 0.0, 1e-9, dx)
-        dy = ya - yb
-        mag = jnp.sqrt(dx * dx + dy * dy)
-        delta = mu * (mag - term_dist) / 2.0
-        r = jnp.where(vf > 0, delta / mag, 0.0)
-        rx = r * dx
-        ry = r * dy
-
-        # scatter-add both endpoints: spreads built in 3D (value broadcast
-        # against lane one-hot), then transposed matmuls into the (ch,384)
-        # accumulator block, revisited across grid chunks
-        def spread(idx, v0, v1, v2):
-            io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANE), 2)
-            e = (idx[:, :, None] == io).astype(jnp.float32)
-            return jnp.concatenate(
-                [e * v0[:, :, None], e * v1[:, :, None], e * v2[:, :, None]],
-                axis=2,
-            ).reshape(CHUNK, 3 * LANE)
-
-        spread_a = spread(ep_a & 127, -rx, -ry, vf)
-        spread_b = spread(eb & 127, rx, ry, vf)
-        acc = jax.lax.dot_general(
-            e_hi_a,
-            spread_a,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            e_hi_b2,
-            spread_b,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        seed = sarr_ref[0]
+        batch_index = sarr_ref[1]
+        it = sarr_ref[2]
+        gchunk = batch_index * nch + c
+        acc = _chunk_acc(k, seed, gchunk, it, planes_ref, cin_ref[:])
         acc_ref[:] = acc_ref[:] + acc
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nchunks,),
-        in_specs=[
-            pl.BlockSpec(
-                (6, RC, LANE),
-                lambda c, s, e: (0, (s[0] + c) % n_rcblk, 0),
-            ),
-            pl.BlockSpec(
-                (4, RC, LANE),
-                lambda c, s, e: (0, (s[0] + c) % n_rcblk, 0),
-            ),
-            pl.BlockSpec((bh, 3 * LANE), lambda c, s, e: (0, 0)),
-            pl.BlockSpec((ch, 2 * LANE), lambda c, s, e: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((ch, 3 * LANE), lambda c, s, e: (0, 0)),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ch, 3 * LANE), jnp.float32),
-        interpret=interpret,
-    )
+        @pl.when(c == nch - 1)
+        def _():
+            cnt = jnp.maximum(acc_ref[:, 2 * LANE :], 1.0)
+            upd = acc_ref[:, : 2 * LANE] / jnp.concatenate([cnt, cnt], axis=1)
+            out_ref[:] = cin_ref[:] + upd
 
-
-def batch_update(coords_planes, data: PallasSgdData, cfg, start_rcblk, seed,
-                 cooling, eta, nchunks: int, interpret: bool = False):
-    """One update batch of nchunks*CHUNK pairs; returns new coord planes."""
-    call = _make_batch_kernel(cfg, data, nchunks, interpret)
-    scal = jnp.stack(
-        [
-            start_rcblk.astype(jnp.int32),
-            seed.astype(jnp.int32),
-            cooling.astype(jnp.int32),
-        ]
-    )
-    eta_arr = jnp.asarray(eta, jnp.float32).reshape(1)
-    acc = call(scal, eta_arr, data.ai, data.af, data.tb, coords_planes)
-    cnt = jnp.maximum(acc[:, 2 * LANE :], 1.0)
-    upd = acc[:, : 2 * LANE] / jnp.concatenate([cnt, cnt], axis=1)
-    return coords_planes + upd
+    return kernel
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "num_batches", "nchunks", "interpret"),
-    donate_argnums=(0,),
+    static_argnames=("cfg", "data_meta", "nch", "num_batches", "interpret"),
 )
-def pallas_sgd_2d_run(
-    coords_planes, etas, data: PallasSgdData, cfg, num_batches: int,
-    nchunks: int, interpret: bool = False,
+def _pallas_sgd_2d_batched(
+    coords_planes, planes, seed, cfg, data_meta, nch: int,
+    num_batches: int, interpret: bool,
 ):
-    """The complete 2D layout optimization with the fused Pallas batch."""
-    first_cooling = cfg.first_cooling_iteration
-    n_rcblk = data.s_pad // CHUNK
+    """Per-batch-dispatch variant: XLA fori_loop over (iter, batch) calling
+    the grid=(nch,) kernel once per merge batch."""
+    data = PallasSgdData(planes, *data_meta)
+    ch = data.ch
+    pr = planes.shape[1]
+    kernel = _make_batch_kernel(cfg, data, nch)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec(
+                (4, pr, LANE), lambda c, s: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ch, 2 * LANE), lambda c, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ch, 2 * LANE), lambda c, s: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ch, 3 * LANE), jnp.float32),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ch, 2 * LANE), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
 
-    def iter_body(it, co):
-        eta = etas[it]
-        cooling = (it >= first_cooling).astype(jnp.int32)
+    def body(g_batch, co):
+        it = g_batch // num_batches
+        sarr = jnp.stack([seed[0], g_batch, it])
+        return call(sarr, planes, co)
 
-        def body(b, co):
-            g = it * num_batches + b
-            start = (g * nchunks) % n_rcblk
-            seed = jnp.int32(cfg.seed) + g * jnp.int32(1000003)
-            return batch_update(
-                co, data, cfg, start, seed, cooling, eta, nchunks, interpret
-            )
+    return jax.lax.fori_loop(
+        0, cfg.iter_max * num_batches, body, coords_planes
+    )
 
-        return jax.lax.fori_loop(0, num_batches, body, co)
 
-    return jax.lax.fori_loop(0, cfg.iter_max, iter_body, coords_planes)
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "data_meta", "nch", "num_batches", "interpret"),
+)
+def _pallas_sgd_2d_call(
+    coords_planes, planes, seed, cfg, data_meta, nch: int,
+    num_batches: int, interpret: bool,
+):
+    data = PallasSgdData(planes, *data_meta)
+    ch = data.ch
+    pr = planes.shape[1]
+    kernel = _make_kernel(cfg, data, nch, num_batches)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cfg.iter_max, num_batches, nch),
+        in_specs=[
+            pl.BlockSpec(
+                (4, pr, LANE), lambda i, b, c, s: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ch, 2 * LANE), lambda i, b, c, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ch, 2 * LANE), lambda i, b, c, s: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ch, 3 * LANE), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ch, 2 * LANE), jnp.float32),
+        # the TPU-semantics interpreter (pltpu.prng_*, roll, ...) — plain
+        # interpret=True lacks lowerings for the TPU primitives
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, planes, coords_planes)
+
+
+def _num_batches(cfg, nch: int) -> int:
+    return max(1, -(-cfg.min_term_updates // (nch * CHUNK)))
 
 
 def path_sgd_2d_pallas(
@@ -408,11 +502,10 @@ def path_sgd_2d_pallas(
 ) -> np.ndarray:
     """Drop-in alternative to ops.sgd.path_sgd_2d on the Pallas fast path.
 
-    Batch size is nchunks*CHUNK with the same epoch_div staleness cap as
-    the XLA path; falls back is the caller's responsibility (see
-    ops.sgd.path_sgd_2d which dispatches on pallas_supported()).
+    Dispatched from ops.sgd.path_sgd_2d when cfg.pallas and
+    pallas_supported() hold; interpret-mode runs everywhere for tests.
     """
-    from .sgd import derive_config_2d, sgd_schedule
+    from .sgd import derive_config_2d
 
     if cfg is None:
         cfg = derive_config_2d(g)
@@ -420,14 +513,41 @@ def path_sgd_2d_pallas(
         return np.asarray(coords0, np.float64)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    data = PallasSgdData.build(
-        g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step
+    data = PallasSgdData.build(g, cfg.space)
+    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
+    nb = _num_batches(cfg, nch)
+    co = coords_to_planes(np.asarray(coords0, np.float32), data.ch)
+    meta = (data.num_steps, data.n_blocks, data.ch, data.num_nodes, data.space)
+    out = _pallas_sgd_2d_call(
+        jnp.asarray(co),
+        data.planes,
+        jnp.asarray([cfg.seed], jnp.int32),
+        cfg,
+        meta,
+        nch,
+        nb,
+        bool(interpret),
     )
-    nchunks = max(1, cfg.batch_size // CHUNK)
-    num_batches = max(1, -(-cfg.min_term_updates // (nchunks * CHUNK)))
-    co = jnp.asarray(
-        coords_to_planes(np.asarray(coords0, np.float32), data.ch)
-    )
+    return planes_to_coords(np.asarray(out), 2 * g.num_nodes).astype(np.float64)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "S", "space", "nch", "num_batches", "n2"),
+)
+def _strata_xla_run(coords, key, planes_flat, cfg, S, space, nch, num_batches, n2):
+    """Pure-XLA reference of the strata kernel semantics (same window/
+    shared-D sampling, same mean-merge batching), used by tests on CPU and
+    as documentation of the kernel's math.  RNG is threefry, so results
+    are not bitwise-comparable with the TPU kernel — only statistically.
+    planes_flat: i32 (4, PAD) [pos, pos_end, handle, path] modularly padded.
+    """
+    from .sgd import sgd_schedule
+
+    tp, tpe, th, tpa = (planes_flat[i] for i in range(4))
+    zeta_n, eta_z = _zeta_consts(cfg, space)
+    alpha = 1.0 / (1.0 - cfg.theta)
+    half_pow_theta = float(0.5**cfg.theta)
     etas = jnp.asarray(
         sgd_schedule(
             1.0 / cfg.eta_max, 1.0, cfg.iter_max,
@@ -435,26 +555,118 @@ def path_sgd_2d_pallas(
         ),
         jnp.float32,
     )
-    out = pallas_sgd_2d_run(
-        co, etas, data, cfg, num_batches, nchunks, interpret
+    n_blocks = max(1, -(-S // LANE))
+    first_cooling = cfg.first_cooling_iteration
+
+    def iter_body(it, coords):
+        eta_lr = etas[it]
+        cooling = it >= first_cooling
+        key_it = jax.random.fold_in(key, it)
+
+        def batch_body(b, coords):
+            kb = jax.random.fold_in(key_it, b)
+            acc = jnp.zeros((n2, 3), jnp.float32)
+
+            def chunk_body(c, acc):
+                kc = jax.random.fold_in(kb, c)
+                ks, kp = jax.random.split(kc)
+                sc = jax.random.uniform(ks, (3,), jnp.float32)
+                wm = jax.random.bits(ks, (), jnp.uint32)
+                o = jnp.minimum(
+                    jnp.floor(sc[0] * n_blocks).astype(jnp.int32), n_blocks - 1
+                ) * LANE
+                x = jnp.maximum(eta_z * sc[1] - eta_z + 1.0, 1e-30)
+                powx = jnp.exp(jnp.float32(alpha) * jnp.log(x))
+                uz = sc[1] * zeta_n
+                val = jnp.where(
+                    uz < 1.0,
+                    1.0,
+                    jnp.where(uz < 1.0 + half_pow_theta, 2.0, 1.0 + space * powx),
+                )
+                d_zipf = jnp.clip(jnp.floor(val).astype(jnp.int32), 1, space)
+                d_unif = 1 + jnp.floor(
+                    sc[2] * jnp.float32(max(space - 1, 1))
+                ).astype(jnp.int32)
+                D = jnp.where(
+                    jnp.logical_or(cooling, (wm & 1) > 0), d_zipf, d_unif
+                )
+                ia = o + jnp.arange(CHUNK, dtype=jnp.int32)
+                ib = ia + D
+                valid = tpa[ia] == tpa[ib]
+                w = jax.random.bits(kp, (2, CHUNK), jnp.uint32)
+                ca = (w[0] & 1).astype(jnp.int32)
+                cb = (w[1] & 1).astype(jnp.int32)
+                ha, hb = th[ia], th[ib]
+                pos_a = jnp.where(ca > 0, tpe[ia], tp[ia]).astype(jnp.float32)
+                pos_b = jnp.where(cb > 0, tpe[ib], tp[ib]).astype(jnp.float32)
+                ep_a = 2 * (ha >> 1) + ((ha & 1) ^ ca)
+                ep_b = 2 * (hb >> 1) + ((hb & 1) ^ cb)
+                term = jnp.maximum(jnp.abs(pos_a - pos_b), 1e-9)
+                mu = jnp.minimum(eta_lr / term, 1.0)
+                d = coords[ep_a] - coords[ep_b]
+                dx = jnp.where(d[:, 0] == 0.0, 1e-9, d[:, 0])
+                dy = d[:, 1]
+                mag = jnp.sqrt(dx * dx + dy * dy)
+                delta = mu * (mag - term) / 2.0
+                r = jnp.where(valid, delta / mag, 0.0)
+                v = valid.astype(jnp.float32)
+                col_a = jnp.stack([-r * dx, -r * dy, v], 1)
+                col_b = jnp.stack([r * dx, r * dy, v], 1)
+                return acc.at[ep_a].add(col_a).at[ep_b].add(col_b)
+
+            acc = jax.lax.fori_loop(0, nch, chunk_body, acc)
+            return coords + acc[:, :2] / jnp.maximum(acc[:, 2], 1.0)[:, None]
+
+        return jax.lax.fori_loop(0, num_batches, batch_body, coords)
+
+    return jax.lax.fori_loop(0, cfg.iter_max, iter_body, coords)
+
+
+def path_sgd_2d_strata_xla(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
+    """XLA (any-backend) run of the strata sampling scheme; the semantic
+    reference for path_sgd_2d_pallas, exercised by the CPU test suite."""
+    from .sgd import derive_config_2d
+
+    if cfg is None:
+        cfg = derive_config_2d(g)
+    if not (g.path_step_count > 1).any():
+        return np.asarray(coords0, np.float64)
+    data = PallasSgdData.build(g, cfg.space)
+    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
+    nb = _num_batches(cfg, nch)
+    planes_flat = jnp.asarray(np.asarray(data.planes).reshape(4, -1))
+    out = _strata_xla_run(
+        jnp.asarray(np.asarray(coords0, np.float32)),
+        jax.random.key(cfg.seed),
+        planes_flat,
+        cfg,
+        data.num_steps,
+        int(data.space),
+        nch,
+        nb,
+        2 * g.num_nodes,
     )
-    return planes_to_coords(np.asarray(out), 2 * g.num_nodes).astype(
-        np.float64
-    )
+    return np.asarray(out, np.float64)
 
 
 def pallas_supported(g, cfg) -> bool:
-    """Whether the Pallas fast path applies to this graph/config."""
+    """Whether the fused kernel applies to this graph/config.
+
+    Requires: TPU backend, no delta early-stop (the kernel runs the full
+    schedule in one dispatch), VMEM-resident step planes and coordinates,
+    and f32-exact positions (< 2^24).
+    """
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    if g.num_steps < CHUNK:
+    if cfg.delta > 0:
         return False
-    max_val = max(
-        int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0)),
-        2 * g.num_nodes,
-    )
-    if max_val >= 2**24:
+    S = g.num_steps
+    if S < CHUNK:
         return False
-    bh = _pad_to(max(-(-g.num_steps // LANE), 1), 8)
+    max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
+    if max_pos >= 2**24 or 2 * g.num_nodes >= 2**24:
+        return False
+    space = int(cfg.space)
+    pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, RC * LANE)
     ch = _pad_to(max(-(-2 * g.num_nodes // LANE), 1), 8)
-    return (bh * 384 + ch * (256 + 384)) * 4 < 8 * 1024 * 1024
+    return 4 * pad * 4 < 7 * 1024 * 1024 and ch <= 512

@@ -201,7 +201,8 @@ class SgdConfig:
     seed: int = 9399220  # the reference's worker seed base (path_sgd.cpp:208)
     mxu_coords: bool = True  # factored one-hot coords ops (vs XLA scatter)
     mxu_tables: bool = True  # factored one-hot step-table gather (vs XLA)
-    pallas: bool = False  # fused Pallas hot kernel (TPU; see ops/pallas_sgd.py)
+    pallas: bool = True  # fused Pallas hot kernel when supported (2D, TPU;
+    # see ops/pallas_sgd.py — falls back to the XLA path otherwise)
     rng_impl: str = "rbg"  # hardware RNG; 'threefry2x32' for splittability
 
     @property
@@ -623,6 +624,14 @@ def path_sgd_2d(
         cfg = derive_config_2d(g)
     if not (g.path_step_count > 1).any():
         return np.asarray(coords0, np.float64)
+    if cfg.pallas:
+        from .pallas_sgd import pallas_supported, path_sgd_2d_pallas
+
+        g_eff = g
+        if use_paths is not None and sorted(use_paths) != list(range(g.num_paths)):
+            g_eff = g.keep_paths(sorted(use_paths))
+        if pallas_supported(g_eff, cfg):
+            return path_sgd_2d_pallas(g_eff, coords0, cfg, interpret=False)
     data = SgdData.build(
         g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step, use_paths
     )

@@ -1,0 +1,120 @@
+"""Tests for the strata Pallas 2D PG-SGD path (ops/pallas_sgd.py).
+
+The fused TPU kernel itself cannot run in CI (no chip; the Mosaic
+interpreter is orders of magnitude too slow for even one batch), so the
+CPU suite pins:
+- the pure-XLA strata reference (`path_sgd_2d_strata_xla`) that shares the
+  kernel's sampling semantics (window pairs, shared per-chunk Zipf D,
+  path-boundary masking, per-batch mean merge) — quality + determinism;
+- the kernel's data layout invariants (modular wrap fill, plane contents);
+- the zeta constants used for the in-kernel closed-form Zipf draw;
+- the dispatch predicate (pallas_supported is TPU-only and falls back).
+
+The chip-side guards live in bench.py, which asserts converged stress
+<= 1.4 on DRB1 at pure defaults (reference fixture: 1.2855).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from odgi_tpu.ops import sgd
+from odgi_tpu.ops import pallas_sgd as ps
+from odgi_tpu.ops.zipf import zeta_eta_table
+from odgi_tpu.algorithms.layout import init_layout
+from odgi_tpu.algorithms import stats
+
+
+def test_pallas_data_planes_layout(t_gfa):
+    g = t_gfa
+    space = 7
+    d = ps.PallasSgdData.build(g, space)
+    planes = np.asarray(d.planes).reshape(4, -1)
+    S = g.num_steps
+    # true-order prefix
+    node = g.step_handle >> 1
+    assert np.array_equal(planes[ps._POS, :S], g.step_pos)
+    assert np.array_equal(
+        planes[ps._POSEND, :S], g.step_pos + g.node_len[node]
+    )
+    assert np.array_equal(planes[ps._HANDLE, :S], g.step_handle)
+    assert np.array_equal(planes[ps._PATH, :S], g.step_path)
+    # sentinel pad: everything past S masks out via the path compare
+    assert (planes[ps._PATH, S:] == -1).all()
+    assert d.n_blocks == -(-S // ps.LANE)
+
+
+def test_zeta_consts_match_table():
+    cfg = sgd.SgdConfig(
+        iter_max=30, min_term_updates=10, eta_max=100.0,
+        space=3100, space_max=1000, space_quantization_step=100,
+    )
+    zeta_n, eta_z = ps._zeta_consts(cfg, 3100)
+    ze = zeta_eta_table(3100, 1000, 100, cfg.theta)
+    zi = 1000 + 1 + (3100 - 1000) // 100
+    assert zeta_n == pytest.approx(float(ze[zi, 0]))
+    assert eta_z == pytest.approx(float(ze[zi, 1]))
+
+
+def test_pallas_supported_cpu_is_false(drb_graph):
+    cfg = sgd.derive_config_2d(drb_graph)
+    assert jax.default_backend() == "cpu"
+    assert not ps.pallas_supported(drb_graph, cfg)
+
+
+def test_path_sgd_2d_dispatch_falls_back_on_cpu(t_gfa):
+    """With cfg.pallas=True (default) on CPU the XLA path must serve."""
+    g = t_gfa
+    cfg = sgd.derive_config_2d(g, iter_max=2)
+    assert cfg.pallas
+    out = sgd.path_sgd_2d(g, init_layout(g, "d"), cfg)
+    assert np.isfinite(out).all()
+
+
+def test_strata_xla_deterministic_and_improves(drb_graph):
+    g = drb_graph
+    cfg = sgd.derive_config_2d(g, iter_max=6)
+    coords0 = init_layout(g, "d")
+    out1 = ps.path_sgd_2d_strata_xla(g, coords0, cfg)
+    out2 = ps.path_sgd_2d_strata_xla(g, coords0, cfg)
+    assert np.array_equal(out1, out2)
+    c0 = np.asarray(coords0, np.float64)
+    c1 = out1
+    d0 = stats.sum_of_path_node_distances(
+        g, (c0[:, 0], c0[:, 1])
+    ).all_2d_by_nucleotides
+    d1 = stats.sum_of_path_node_distances(
+        g, (c1[:, 0], c1[:, 1])
+    ).all_2d_by_nucleotides
+    assert np.isfinite(c1).all()
+    assert d1 < d0 / 2  # strata sampling converges
+
+
+def test_strata_xla_respects_path_boundaries():
+    """Nodes used only by single-step paths never pair with anything
+    (the shared-D window pairs are masked by the path compare), so their
+    coordinates must stay exactly at the init."""
+    from odgi_tpu.core.graph import GraphBuilder
+
+    b = GraphBuilder()
+    for i in range(1, 40):
+        b.add_node(i, b"ACGT")
+    for i in range(1, 39):
+        b.add_edge(i, False, i + 1, False)
+    p0 = b.add_path("long")
+    for i in range(1, 31):
+        b.append_step(p0, i, False)
+    p1 = b.add_path("single")
+    b.append_step(p1, 39, False)
+    g = b.build()
+    cfg = sgd.derive_config_2d(g, iter_max=3)
+    coords0 = init_layout(g, "d")
+    c0_f32 = np.asarray(coords0, np.float32).astype(np.float64)
+    out = ps.path_sgd_2d_strata_xla(g, coords0, cfg)
+    lone = 38  # rank of node 39
+    assert np.array_equal(
+        out[2 * lone : 2 * lone + 2], c0_f32[2 * lone : 2 * lone + 2]
+    )
+    moved = np.abs(out[: 2 * 30] - c0_f32[: 2 * 30]).sum()
+    assert moved > 0  # the real path did optimize
