@@ -91,3 +91,40 @@ def path_windows_bed(
                     int(min(edges[w + 1], total)),
                     wsum[w] / wlen[w],
                 )
+
+
+def path_range_mean_depth(g: GraphTensors, path_ranges, depth_per_node: np.ndarray):
+    """Mean depth over each (path, start, end) range, base-exact
+    (reference: src/algorithms/depth.cpp:100-215 for_each_path_range_depth):
+    per range, the sum over covered bases of the covering node's depth,
+    with partial nodes weighted by overlap, divided by the range length.
+    Yields (range, mean_depth) in input order."""
+    # group ranges per path; prefix-sum depth*len per path once
+    by_path = {}
+    for i, r in enumerate(path_ranges):
+        by_path.setdefault(r.path, []).append((i, r))
+    out = [None] * len(path_ranges)
+    for p, items in by_path.items():
+        lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+        ranks = handle_rank(g.step_handle[lo:hi])
+        lens = g.node_len[ranks].astype(np.int64)
+        offs = g.step_pos[lo:hi].astype(np.int64)
+        d = depth_per_node[ranks].astype(np.float64)
+        prefix = np.zeros(len(d) + 1, dtype=np.float64)
+        np.cumsum(d * lens, out=prefix[1:])
+        total_len = int(offs[-1] + lens[-1]) if len(d) else 0
+
+        def F(x: int) -> float:
+            if x <= 0 or len(d) == 0:
+                return 0.0
+            if x >= total_len:
+                return float(prefix[-1])
+            k = int(np.searchsorted(offs, x, side="right")) - 1
+            return float(prefix[k] + d[k] * (x - int(offs[k])))
+
+        for i, r in items:
+            span = max(r.end - r.start, 1)
+            out[i] = (r, (F(r.end) - F(r.start)) / span)
+    for item in out:
+        if item is not None:
+            yield item

@@ -14,31 +14,177 @@ import numpy as np
 
 
 def cmd_depth(args):
+    """Full-parity `odgi depth` (reference: src/subcommand/depth_main.cpp):
+    graph/path positions, BED ranges, path subsets, depth tables/vectors,
+    summaries and depth windows."""
+    import numpy as np
+
     from .main import load_any
-    from ..algorithms.coverage import (
-        depth_histogram,
-        node_depth,
-        node_depth_unique,
-        path_windows_bed,
+    from ..algorithms import coverage as cov
+    from ..algorithms import degree as degalg
+    from .region import (
+        add_bed_range,
+        fmt_double,
+        get_graph_pos_of_path_pos,
+        load_subset_paths,
+        parse_graph_pos,
+        parse_path_pos,
+        parse_windows_spec,
     )
 
+    if args.windows_in and args.windows_out:
+        print(
+            "[odgi::depth] error: please specify -w/--windows-in or "
+            "-W/--windows-out, not both.",
+            file=sys.stderr,
+        )
+        return 1
+    win = None
+    if args.windows_in:
+        win = parse_windows_spec(args.windows_in, "depth", "-w/--windows-in")
+    if args.windows_out:
+        win = parse_windows_spec(args.windows_out, "depth", "-W/--windows-out")
+
     g = load_any(args.input)
-    d = node_depth_unique(g) if args.unique else node_depth(g)
-    if args.window_bp:
-        print("#path\tstart\tend\tmean.depth")
-        for name, s, e, v in path_windows_bed(g, d, args.window_bp):
-            print(f"{name}\t{s}\t{e}\t{v:.6g}")
-    elif args.summarize:
-        vals, counts = depth_histogram(d)
-        print("#depth\tnodes")
-        for v, c in zip(vals, counts):
-            print(f"{int(v)}\t{int(c)}")
-    else:
-        print("#node.id\tdepth\tdepth.uniq")
-        du = node_depth_unique(g)
-        dd = node_depth(g)
+    paths_mask = (
+        load_subset_paths(g, args.subset_paths, "depth")
+        if args.subset_paths
+        else np.ones(g.num_paths, dtype=bool)
+    )
+    sel_paths = [p for p in range(g.num_paths) if paths_mask[p]]
+    subset = sel_paths if args.subset_paths else None
+    depth = cov.node_depth(g, subset)
+    depth_uniq = cov.node_depth_unique(g, subset)
+
+    graph_positions = []
+    path_positions = []
+    path_ranges = []
+
+    if args.summarize:
+        pass
+    elif args.graph_depth_table:
         for r in range(g.num_nodes):
-            print(f"{int(g.node_id[r])}\t{int(dd[r])}\t{int(du[r])}")
+            graph_positions.append(
+                parse_graph_pos(g, str(int(g.node_id[r])), "depth")
+            )
+    elif args.graph_depth_vec:
+        out = [f"{args.input}_vec"]
+        for r in range(g.num_nodes):
+            out.append(f" {int(depth[r])}" * int(g.node_len[r]))
+        sys.stdout.write("".join(out) + "\n")
+        return 0
+    elif args.path_depth or args.self_depth:
+        from ..core.graph import handle_rank
+
+        # -D uses TOTAL step count per node (reference: depth_main.cpp:281);
+        # -a counts only the path's own steps (reference: :312-319)
+        total_depth = cov.node_depth(g)
+        for p in sel_paths:
+            lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+            ranks = handle_rank(g.step_handle[lo:hi])
+            lens = g.node_len[ranks]
+            if args.self_depth:
+                own = np.bincount(ranks, minlength=g.num_nodes)
+                vals = own[ranks]
+            else:
+                vals = total_depth[ranks]
+            parts = [g.path_names[p]]
+            for v, ln in zip(vals, lens):
+                parts.append(f" {int(v)}" * int(ln))
+            sys.stdout.write("".join(parts) + "\n")
+        return 0
+    elif args.graph_pos:
+        graph_positions.append(parse_graph_pos(g, args.graph_pos, "depth"))
+    elif args.graph_pos_file:
+        with open(args.graph_pos_file) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    graph_positions.append(parse_graph_pos(g, line, "depth"))
+    elif args.path_pos:
+        pp = parse_path_pos(g, args.path_pos, "depth")
+        if pp:
+            path_positions.append(pp)
+    elif args.path_pos_file:
+        with open(args.path_pos_file) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    pp = parse_path_pos(g, line, "depth")
+                    if pp:
+                        path_positions.append(pp)
+    elif args.bed_input:
+        with open(args.bed_input) as f:
+            for line in f:
+                add_bed_range(path_ranges, g, line.rstrip("\n"))
+    elif args.path:
+        add_bed_range(path_ranges, g, args.path)
+    elif args.paths:
+        with open(args.paths) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    add_bed_range(path_ranges, g, line)
+    elif win is None:
+        for p in range(g.num_paths):
+            add_bed_range(path_ranges, g, g.path_names[p])
+
+    if win is not None:
+        merge_len, wmin, wmax, only_tips = win
+        wdep = depth_uniq if args.window_unique_depth else depth
+        if args.windows_in:
+            in_bounds = (wdep >= wmin) & (wdep <= wmax)
+        else:
+            in_bounds = (wdep < wmin) | (wdep > wmax)
+        print("#path\tstart\tend")
+        plens = g.path_length
+        wpaths = sel_paths if args.subset_paths else range(g.num_paths)
+        for p, s, e in degalg.windows_in_out(g, wpaths, in_bounds, merge_len):
+            if only_tips and s != 0 and e != int(plens[p]):
+                continue
+            print(f"{g.path_names[p]}\t{s}\t{e}")
+
+    if args.summarize:
+        print(
+            "#node.count\tgraph.length\tstep.count\tpath.length"
+            "\tmean.node.depth\tmean.graph.depth"
+        )
+        node_count = g.num_nodes
+        graph_length = int(g.node_len.sum())
+        step_count = int(depth.sum())
+        path_length = int((g.node_len * depth).sum())
+        print(
+            f"{node_count}\t{graph_length}\t{step_count}\t{path_length}\t"
+            f"{fmt_double(step_count / node_count)}\t"
+            f"{fmt_double(path_length / graph_length)}"
+        )
+
+    if graph_positions:
+        print("#node.id\tdepth\tdepth.uniq")
+        for gp in graph_positions:
+            r = g.id_to_rank[gp.node_id]
+            print(f"{gp.node_id}\t{int(depth[r])}\t{int(depth_uniq[r])}")
+
+    if path_positions:
+        print("#path.position\tdepth\tdepth.uniq")
+        for pp in path_positions:
+            gp = get_graph_pos_of_path_pos(g, pp, "depth")
+            r = g.id_to_rank.get(gp.node_id)
+            d, u = (
+                (int(depth[r]), int(depth_uniq[r])) if r is not None else (0, 0)
+            )
+            print(
+                f"{g.path_names[pp.path]},{pp.offset},"
+                f"{'-' if pp.is_rev else '+'}\t{d}\t{u}"
+            )
+
+    if path_ranges:
+        print("#path\tstart\tend\tmean.depth")
+        for r, mean in cov.path_range_mean_depth(g, path_ranges, depth):
+            print(
+                f"{g.path_names[r.path]}\t{r.start}\t{r.end}\t"
+                f"{fmt_double(mean)}"
+            )
     return 0
 
 
@@ -159,13 +305,17 @@ def cmd_degree(args):
             add_bed_range(path_ranges, g, g.path_names[p])
 
     if win is not None:
-        merge_len, wmin, wmax = win
+        merge_len, wmin, wmax, only_tips = win
         if args.windows_in:
             in_bounds = (deg >= wmin) & (deg <= wmax)
         else:
             in_bounds = (deg < wmin) | (deg > wmax)
         print("#path\tstart\tend")
-        for p, s, e in degalg.windows_in_out(g, range(g.num_paths), in_bounds, merge_len):
+        plens = g.path_length
+        wpaths = [p for p in range(g.num_paths) if paths_mask[p]] if args.subset_paths else range(g.num_paths)
+        for p, s, e in degalg.windows_in_out(g, wpaths, in_bounds, merge_len):
+            if only_tips and s != 0 and e != int(plens[p]):
+                continue
             print(f"{g.path_names[p]}\t{s}\t{e}")
 
     if args.summarize:
@@ -953,9 +1103,24 @@ def register(sub):
     """Attach this batch of subcommands to the argparse subparsers."""
     p = sub.add_parser("depth", help="node/path depth")
     p.add_argument("-i", "--input", required=True)
-    p.add_argument("-w", "--window-bp", type=int, default=0)
-    p.add_argument("-u", "--unique", action="store_true")
+    p.add_argument("-s", "--subset-paths")
+    p.add_argument("-r", "--path")
+    p.add_argument("-R", "--paths")
+    p.add_argument("-g", "--graph-pos")
+    p.add_argument("-G", "--graph-pos-file")
+    p.add_argument("-p", "--path-pos")
+    p.add_argument("-F", "--path-pos-file")
+    p.add_argument("-b", "--bed-input")
+    p.add_argument("-d", "--graph-depth-table", action="store_true")
+    p.add_argument("-v", "--graph-depth-vec", action="store_true")
+    p.add_argument("-D", "--path-depth", action="store_true")
+    p.add_argument("-a", "--self-depth", action="store_true")
     p.add_argument("-S", "--summarize", action="store_true")
+    p.add_argument("-w", "--windows-in")
+    p.add_argument("-W", "--windows-out")
+    p.add_argument("-U", "--window-unique-depth", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_depth)
 
     p = sub.add_parser("degree", help="node degree")

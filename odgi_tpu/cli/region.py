@@ -146,21 +146,24 @@ def load_subset_paths(g: GraphTensors, path_file: str, tag: str) -> np.ndarray:
 
 
 def parse_windows_spec(spec: str, tag: str, flag: str):
-    """LEN:MIN:MAX -> (len, min, max) or exit (reference:
-    extract.cpp:470-505 check_and_get_windows_in_out_parameter; subcommands
-    append ':0' for the only-tips field)."""
+    """LEN:MIN:MAX:TIPS -> (len, min, max, only_tips) or exit (reference:
+    src/algorithms/subgraph/extract.cpp:470-497
+    check_and_get_windows_in_out_parameter; exactly 4 numeric fields).
+    A 3-field LEN:MIN:MAX form is accepted with TIPS defaulting to 0."""
     parts = spec.split(":")
-    ok = len(parts) == 3 and all(p.isdigit() for p in parts)
+    if len(parts) == 3:
+        parts.append("0")
+    ok = len(parts) == 4 and all(p.isdigit() for p in parts)
     if ok and int(parts[1]) > int(parts[2]):
         ok = False
     if not ok:
         print(
-            f"[odgi::{tag}] error: please specify a valid string (LEN:MIN:MAX) "
-            f"for the {flag} option.",
+            f"[odgi::{tag}] error: please specify a valid string "
+            f"(LEN:MIN:MAX:TIPS) for the {flag} option.",
             file=sys.stderr,
         )
         sys.exit(1)
-    return int(parts[0]), int(parts[1]), int(parts[2])
+    return int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]) == 1
 
 
 def get_graph_pos_of_path_pos(g: GraphTensors, pp: PathPos, tag: str) -> GraphPos:
