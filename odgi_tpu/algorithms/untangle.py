@@ -273,55 +273,112 @@ def untangle(
     max_self_coverage: float = 0.0,
     n_best: int = 1,
     min_jaccard: float = 0.0,
+    cut_every: int = 0,
     fmt: str = "bedpe",
+    cut_points_input: Optional[str] = None,
+    cut_points_output: Optional[str] = None,
     out: Optional[TextIO] = None,
 ) -> List[tuple]:
     """Full untangle driver (reference: untangle.cpp:703-1015): establish
-    cut nodes from the self-linearity of all involved paths, segment the
+    cut nodes from the self-linearity of all involved paths (or load them
+    from `cut_points_input`, reference :888-915), optionally add sorted-
+    order segment boundaries every `cut_every` bp (:804-880), segment the
     targets, then map each query segment to its best target segments.
 
-    Returns the BEDPE rows as tuples; writes formatted text if `out`.
+    `fmt` selects the output shape (reference untangle.hpp:20-26):
+    'bedpe' (default), 'paf', 'order' (gene order per query), 'gggenes'
+    (molecule/gene/start/end/strand rows) or 'schematic' (gggenes with
+    each gene rendered as 100bp + 50bp gaps, :680-690).
+
+    Returns the mapping rows as tuples; writes formatted text if `out`.
     """
     paths = sorted(set(list(queries) + list(targets)))
     cut_nodes = np.zeros(g.num_nodes, dtype=bool)
-    target_nodes = np.zeros(g.num_nodes, dtype=bool)
-    for t in targets:
-        lo, hi = int(g.path_offset[t]), int(g.path_offset[t + 1])
-        target_nodes[handle_rank(g.step_handle[lo:hi])] = True
-    for p in paths:
-        si = PathSelfIndex(g, p)
-        cuts = merge_cuts(
-            g, p, untangle_cuts(g, p, si, lambda r: False), merge_dist
-        )
-        for s in cuts:
-            if s < int(g.path_offset[p + 1]):
-                cut_nodes[int(g.step_handle[s]) >> 1] = True
-        # first/last touch of target nodes (untangle.cpp:786-795)
-        lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
-        for s in range(lo, hi):
-            r = int(g.step_handle[s]) >> 1
-            if target_nodes[r]:
-                cut_nodes[r] = True
-                break
-        for s in range(hi - 1, lo - 1, -1):
-            r = int(g.step_handle[s]) >> 1
-            if target_nodes[r]:
-                cut_nodes[r] = True
-                break
+    if cut_points_input:
+        n_read = 0
+        with open(cut_points_input) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rank = g.id_to_rank.get(int(line))
+                    if rank is None:
+                        raise SystemExit(
+                            f"[odgi::algorithms::untangle] error: node "
+                            f"identifier {line} not found in graph"
+                        )
+                    cut_nodes[rank] = True
+                    n_read += 1
+        if n_read == 0:
+            raise SystemExit(
+                "[odgi::algorithms::untangle] error: no cut points loaded"
+            )
+    else:
+        target_nodes = np.zeros(g.num_nodes, dtype=bool)
+        for t in targets:
+            lo, hi = int(g.path_offset[t]), int(g.path_offset[t + 1])
+            target_nodes[handle_rank(g.step_handle[lo:hi])] = True
+        for p in paths:
+            si = PathSelfIndex(g, p)
+            cuts = merge_cuts(
+                g, p, untangle_cuts(g, p, si, lambda r: False), merge_dist
+            )
+            for s in cuts:
+                if s < int(g.path_offset[p + 1]):
+                    cut_nodes[int(g.step_handle[s]) >> 1] = True
+            # first/last touch of target nodes (untangle.cpp:786-795)
+            lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+            for s in range(lo, hi):
+                r = int(g.step_handle[s]) >> 1
+                if target_nodes[r]:
+                    cut_nodes[r] = True
+                    break
+            for s in range(hi - 1, lo - 1, -1):
+                r = int(g.step_handle[s]) >> 1
+                if target_nodes[r]:
+                    cut_nodes[r] = True
+                    break
+        if cut_every > 0:
+            # split sorted node space into cut_every-bp segments; each
+            # path's first node in a new segment becomes a cut point
+            # (reference: untangle.cpp:804-880)
+            ends = np.cumsum(g.node_len.astype(np.int64))
+            seg_of_node = np.zeros(g.num_nodes, dtype=np.int64)
+            last = 0
+            segment = 0
+            for r in range(g.num_nodes):
+                if ends[r] - last > cut_every:
+                    last = int(ends[r])
+                    segment += 1
+                seg_of_node[r] = segment
+            for p in paths:
+                lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+                ranks = handle_rank(g.step_handle[lo:hi])
+                segs = seg_of_node[ranks]
+                changed = np.ones(len(segs), dtype=bool)
+                changed[1:] = segs[1:] != segs[:-1]
+                changed[0] = segs[0] != 0
+                cut_nodes[ranks[changed]] = True
 
     seg_map = SegmentMap(g, targets, lambda r: cut_nodes[r], merge_dist)
 
+    path_len = {p: int(g.path_length[p]) for p in set(list(queries) + list(targets))}
     rows = []
-    if out is not None and fmt == "bedpe":
-        out.write(
-            "#query.name\tquery.start\tquery.end\tref.name\tref.start\t"
-            "ref.end\tscore\tinv\tself.cov\tnth.best\n"
-        )
+    if out is not None:
+        if fmt == "bedpe":
+            out.write(
+                "#query.name\tquery.start\tquery.end\tref.name\tref.start\t"
+                "ref.end\tscore\tinv\tself.cov\tnth.best\n"
+            )
+        elif fmt in ("gggenes", "schematic"):
+            out.write("molecule\tgene\tstart\tend\tstrand\n")
+    import math as _math
+
     for q in queries:
         si = PathSelfIndex(g, q)
         cuts = merge_cuts(
             g, q, untangle_cuts(g, q, si, lambda r: cut_nodes[r]), merge_dist
         )
+        gene_order = []  # (t_path, q_begin, q_end, t_begin, t_end, is_inv)
         for i in range(len(cuts) - 1):
             begin, end = cuts[i], cuts[i + 1]
             begin_pos = _pos(g, q, begin)
@@ -347,9 +404,82 @@ def untangle(
                     jac, "-" if is_inv else "+", sc, nth,
                 )
                 rows.append(row)
-                if out is not None and fmt == "bedpe":
+                if fmt == "bedpe" and out is not None:
                     out.write(
                         f"{row[0]}\t{row[1]}\t{row[2]}\t{row[3]}\t{row[4]}\t"
                         f"{row[5]}\t{row[6]:.6g}\t{row[7]}\t{row[8]:.6g}\t{row[9]}\n"
                     )
+                elif fmt == "paf" and out is not None:
+                    # reference: untangle.cpp:617-637
+                    dist = -_math.log(2.0 * jac / (1.0 + jac)) if jac > 0 else 1.0
+                    dist = min(dist, 1.0)
+                    out.write(
+                        f"{row[0]}\t{path_len[q]}\t{begin_pos}\t{end_pos}\t"
+                        f"{'-' if is_inv else '+'}\t{row[3]}\t{path_len[t_path]}\t"
+                        f"{t_begin}\t{t_end}\t0\t"
+                        f"{max(t_end - t_begin, end_pos - begin_pos)}\t255\t"
+                        f"id:f:{(1.0 - dist) * 100:.6g}\t"
+                        f"jc:f:{jac:.6g}\t"
+                        f"sc:f:{sc:.6g}\t"
+                        f"nb:i:{nth}\t\n"
+                    )
+                elif fmt in ("order", "gggenes", "schematic"):
+                    # merge-extend contiguous ranges (untangle.cpp:640-655)
+                    if (
+                        gene_order
+                        and gene_order[-1][0] == t_path
+                        and gene_order[-1][2] == begin_pos
+                        and gene_order[-1][4] == t_begin
+                        and gene_order[-1][5] == is_inv
+                    ):
+                        go = gene_order[-1]
+                        gene_order[-1] = (
+                            go[0], go[1], end_pos, go[3], t_end, go[5]
+                        )
+                    else:
+                        gene_order.append(
+                            (t_path, begin_pos, end_pos, t_begin, t_end, is_inv)
+                        )
+        if out is not None and fmt == "order":
+            # query name + comma-joined target:start-end list (:663-676)
+            parts = [
+                f"{g.path_names[t]}:{tb}-{te}"
+                for (t, _, _, tb, te, _) in gene_order
+            ]
+            out.write(f"{g.path_names[q]}\t" + ",".join(parts) + "\n")
+        if out is not None and fmt in ("gggenes", "schematic"):
+            if fmt == "schematic":
+                # each gene 100bp + 50bp gap (:683-690)
+                sch = []
+                idx = 0
+                for (t, _, _, tb, te, inv) in gene_order:
+                    sch.append((t, idx, idx + 100, tb, te, inv))
+                    idx += 150
+                gene_order = sch
+            for (t, qb, qe, _, _, inv) in gene_order:
+                out.write(
+                    f"{g.path_names[q]}\t{g.path_names[t]}\t{qb}\t{qe}\t"
+                    f"{'0' if inv else '1'}\n"
+                )
+    if cut_points_output:
+        with open(cut_points_output, "w") as f:
+            for r in np.nonzero(cut_nodes)[0]:
+                f.write(f"{int(g.node_id[r])}\n")
     return rows
+
+
+def self_dotplot(g: GraphTensors, path: int, out: TextIO) -> None:
+    """-S/--self-dotplot: for each step of the path, a row per co-step of
+    the same path on the same node, positions in path-bp
+    (reference: untangle.cpp:184-214)."""
+    lo, hi = int(g.path_offset[path]), int(g.path_offset[path + 1])
+    name = g.path_names[path]
+    ranks = handle_rank(g.step_handle[lo:hi])
+    pos = g.step_pos[lo:hi].astype(np.int64)
+    by_node = {}
+    for i, r in enumerate(ranks):
+        by_node.setdefault(int(r), []).append(int(pos[i]))
+    out.write("name\tfrom\tto\n")
+    for i, r in enumerate(ranks):
+        for other in by_node[int(r)]:
+            out.write(f"{name}\t{int(pos[i])}\t{other}\n")

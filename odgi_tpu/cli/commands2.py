@@ -565,21 +565,55 @@ def cmd_untangle(args):
     from ..algorithms.untangle import untangle
 
     g = load_any(args.input)
+
+    def load_path_list(fname):
+        out = []
+        with open(fname) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(path_index(g, line))
+        return out
+
     if args.query:
         queries = [path_index(g, q) for q in args.query]
+    elif args.query_paths:
+        queries = load_path_list(args.query_paths)
     else:
         queries = list(range(g.num_paths))
     if args.target:
         targets = [path_index(g, t) for t in args.target]
+    elif args.target_paths:
+        targets = load_path_list(args.target_paths)
     else:
         targets = list(range(g.num_paths))
+    if args.self_dotplot:
+        from ..algorithms.untangle import self_dotplot
+
+        for q in queries:
+            self_dotplot(g, q, sys.stdout)
+        return 0
+    fmt = "bedpe"
+    if args.paf_output:
+        fmt = "paf"
+    elif args.gene_order:
+        fmt = "order"
+    elif args.gggenes_output:
+        fmt = "gggenes"
+    elif args.gggenes_schematic:
+        fmt = "schematic"
     untangle(
         g,
         queries,
         targets,
         merge_dist=args.merge_dist,
+        max_self_coverage=args.max_self_coverage,
         n_best=args.n_best,
         min_jaccard=args.min_jaccard,
+        cut_every=args.cut_every,
+        fmt=fmt,
+        cut_points_input=args.cut_points_input,
+        cut_points_output=args.cut_points_output,
         out=sys.stdout,
     )
     return 0
@@ -1248,9 +1282,22 @@ def register(sub):
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-q", "--query", action="append", default=None)
     p.add_argument("-r", "--target", action="append", default=None)
+    p.add_argument("-Q", "--query-paths")
+    p.add_argument("-R", "--target-paths")
     p.add_argument("-m", "--merge-dist", type=int, default=0)
+    p.add_argument("-s", "--max-self-coverage", type=float, default=0.0)
     p.add_argument("-n", "--n-best", type=int, default=1)
     p.add_argument("-j", "--min-jaccard", type=float, default=0.0)
+    p.add_argument("-e", "--cut-every", type=int, default=0)
+    p.add_argument("-p", "--paf-output", action="store_true")
+    p.add_argument("-G", "--gene-order", action="store_true")
+    p.add_argument("-g", "--gggenes-output", action="store_true")
+    p.add_argument("-X", "--gggenes-schematic", action="store_true")
+    p.add_argument("-c", "--cut-points-input")
+    p.add_argument("-d", "--cut-points-output")
+    p.add_argument("-S", "--self-dotplot", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_untangle)
 
     p = sub.add_parser("panpos", help="pangenome position of path:pos")

@@ -269,7 +269,8 @@ def _chunk_acc(k, seed, gchunk, it, planes_ref, co):
     pos_b1 = slice_b(_POSEND)
     handle_b = slice_b(_HANDLE)
     path_b = slice_b(_PATH)
-    valid = path_a == path_b
+    # pad slots carry path -1 on BOTH sides; -1 == -1 must NOT pair
+    valid = jnp.logical_and(path_a == path_b, path_a >= 0)
 
     # endpoint choice with orientation fix-up (layout.cu:251-281)
     ca = w0 & 1
@@ -592,7 +593,7 @@ def _strata_xla_run(coords, key, planes_flat, cfg, S, space, nch, num_batches, n
                 )
                 ia = o + jnp.arange(CHUNK, dtype=jnp.int32)
                 ib = ia + D
-                valid = tpa[ia] == tpa[ib]
+                valid = jnp.logical_and(tpa[ia] == tpa[ib], tpa[ia] >= 0)
                 w = jax.random.bits(kp, (2, CHUNK), jnp.uint32)
                 ca = (w[0] & 1).astype(jnp.int32)
                 cb = (w[1] & 1).astype(jnp.int32)
