@@ -114,13 +114,17 @@ def layout_graph(
     init_mode: str = "d",
     seed: int = 9399220,
     pack: bool = True,
+    use_paths=None,
+    snapshot_cb=None,
 ) -> np.ndarray:
     """End-to-end `odgi layout`: init, PG-SGD, component packing.
 
     Requires an optimized graph (reference: layout_main.cpp:148-151,
     layout.cu:318-323)."""
     coords0 = init_layout(g, init_mode, seed)
-    coords = path_sgd_2d(g, coords0, cfg)
+    coords = path_sgd_2d(
+        g, coords0, cfg, use_paths=use_paths, snapshot_cb=snapshot_cb
+    )
     if pack:
         coords = pack_components(g, coords)
     return coords

@@ -20,26 +20,44 @@ from .groom import apply_groom
 from .topological import topological_order
 
 
+def order_from_x(g: GraphTensors, X: np.ndarray) -> np.ndarray:
+    """(component, X, rank) lexsort of a 1D embedding
+    (reference: path_sgd.cpp:649-658)."""
+    comp = weak_component_ids(g)
+    ranks = np.arange(g.num_nodes, dtype=np.int64)
+    return np.lexsort((ranks, X, comp))
+
+
 def path_sgd_order(
     g: GraphTensors,
     cfg: Optional[SgdConfig] = None,
     use_paths: Optional[Sequence[int]] = None,
     return_x: bool = False,
     overrides=None,
+    target_paths: Optional[Sequence[int]] = None,
+    snapshot_cb=None,
 ):
     """1D PG-SGD node order (reference: path_sgd.cpp:503-684).
 
     Returns the new rank order (i64[N] of old ranks), sorted by
     (component-by-avg-id, X, rank) exactly as path_sgd.cpp:649-658.
+    `target_paths` pins their nodes (reference -H, path_sgd.cpp:285-302);
+    `snapshot_cb(it, X)` receives per-iteration positions (-u).
     """
     if cfg is None and overrides:
         from ..ops.sgd import derive_config_1d
 
         cfg = derive_config_1d(g, **overrides)
-    X = path_sgd_1d(g, cfg, use_paths)
-    comp = weak_component_ids(g)
-    ranks = np.arange(g.num_nodes, dtype=np.int64)
-    order = np.lexsort((ranks, X, comp))
+    pin = None
+    if target_paths:
+        from ..core.graph import handle_rank
+
+        pin = np.zeros(g.num_nodes, dtype=bool)
+        for t in target_paths:
+            lo, hi = int(g.path_offset[t]), int(g.path_offset[t + 1])
+            pin[handle_rank(g.step_handle[lo:hi])] = True
+    X = path_sgd_1d(g, cfg, use_paths, pin_nodes=pin, snapshot_cb=snapshot_cb)
+    order = order_from_x(g, X)
     if return_x:
         return order, X
     return order
@@ -50,6 +68,8 @@ def sort_pipeline(
     pipeline: str = "Ygs",
     progress: bool = False,
     sgd_overrides=None,
+    target_paths: Optional[Sequence[int]] = None,
+    snapshot_prefix: Optional[str] = None,
 ) -> GraphTensors:
     """Apply a chain of sort passes (reference: sort_main.cpp:418-506).
 
@@ -60,8 +80,28 @@ def sort_pipeline(
     """
     for c in pipeline:
         if c == "Y":
+            snapshot_cb = None
+            if snapshot_prefix:
+                # write each iteration's graph sorted by that iteration's X
+                # (reference: path_sgd.cpp:589-637 snapshot replay)
+                from ..io.og_compat import save_og
+
+                g_snap = g
+
+                def snapshot_cb(it, X):
+                    g2 = g_snap.apply_ordering(
+                        order_from_x(g_snap, X), compact_ids=True
+                    )
+                    save_og(g2, f"{snapshot_prefix}{it + 1}")
+
             g = g.apply_ordering(
-                path_sgd_order(g, overrides=sgd_overrides), compact_ids=True
+                path_sgd_order(
+                    g,
+                    overrides=sgd_overrides,
+                    target_paths=target_paths,
+                    snapshot_cb=snapshot_cb,
+                ),
+                compact_ids=True,
             )
         elif c == "g":
             g = apply_groom(g)

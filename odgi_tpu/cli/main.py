@@ -416,8 +416,29 @@ def cmd_sort(args):
         pipeline = ""
     else:
         pipeline = "s"
+    target_paths = None
+    if getattr(args, "sgd_target_paths", None):
+        target_paths = []
+        with open(args.sgd_target_paths) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        target_paths.append(g.path_names.index(line))
+                    except ValueError:
+                        print(
+                            f"[odgi::sort] error: path {line} not found in graph",
+                            file=sys.stderr,
+                        )
+                        return 1
     if pipeline:
-        g = sort_pipeline(g, pipeline, sgd_overrides=sgd_overrides or None)
+        g = sort_pipeline(
+            g,
+            pipeline,
+            sgd_overrides=sgd_overrides or None,
+            target_paths=target_paths,
+            snapshot_prefix=getattr(args, "sgd_snapshot", None),
+        )
     if args.paths_min:
         g = g.keep_paths(prefix_and_id_ordered_paths(g, args.path_delim or ""))
     if args.paths_max:
@@ -437,6 +458,8 @@ def cmd_sort(args):
 
 
 def cmd_layout(args):
+    """`odgi layout` with the reference's PG-SGD flag surface
+    (reference: src/subcommand/layout_main.cpp:31-96,250-266)."""
     from ..algorithms.layout import layout_graph, layout_to_tsv
     from ..io.lay import save_layout
     from ..ops.sgd import derive_config_2d
@@ -447,8 +470,61 @@ def cmd_layout(args):
     overrides = {}
     if args.iter_max:
         overrides["iter_max"] = args.iter_max
+    if args.path_sgd_min_term_updates_paths:
+        overrides["min_term_updates"] = int(
+            args.path_sgd_min_term_updates_paths * g.num_steps
+        )
+    elif args.path_sgd_min_term_updates_nodes:
+        overrides["min_term_updates"] = int(
+            args.path_sgd_min_term_updates_nodes * g.num_nodes
+        )
+    if args.path_sgd_delta is not None:
+        overrides["delta"] = args.path_sgd_delta
+    if args.path_sgd_eta is not None:
+        overrides["eps"] = args.path_sgd_eta
+    if args.path_sgd_eta_max is not None:
+        overrides["eta_max"] = args.path_sgd_eta_max
+    if args.path_sgd_zipf_theta is not None:
+        overrides["theta"] = args.path_sgd_zipf_theta
+    if args.path_sgd_cooling is not None:
+        overrides["cooling_start"] = args.path_sgd_cooling
+    if args.path_sgd_iteration_max_learning_rate is not None:
+        overrides["iter_with_max_learning_rate"] = (
+            args.path_sgd_iteration_max_learning_rate
+        )
+    if args.path_sgd_zipf_space is not None:
+        overrides["space"] = min(
+            args.path_sgd_zipf_space, int(g.path_step_count.max())
+        )
+    if args.path_sgd_zipf_space_max is not None:
+        overrides["space_max"] = args.path_sgd_zipf_space_max
+    if args.path_sgd_zipf_space_quantization_step is not None:
+        overrides["space_quantization_step"] = max(
+            2, args.path_sgd_zipf_space_quantization_step
+        )
+    if args.path_sgd_seed is not None:
+        overrides["seed"] = args.path_sgd_seed
+    use_paths = None
+    if args.path_sgd_use_paths:
+        use_paths = []
+        with open(args.path_sgd_use_paths) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    use_paths.append(g.path_names.index(line))
+    snapshot_cb = None
+    if args.path_sgd_snapshot:
+        prefix = args.path_sgd_snapshot
+
+        def snapshot_cb(it, coords):
+            # one .lay per iteration (reference: path_sgd_layout.cpp:379-408)
+            save_layout(coords, f"{prefix}{it + 1}")
+
     cfg = derive_config_2d(g, **overrides)
-    coords = layout_graph(g, cfg, init_mode=args.init)
+    coords = layout_graph(
+        g, cfg, init_mode=args.init, use_paths=use_paths,
+        snapshot_cb=snapshot_cb,
+    )
     if args.out:
         save_layout(coords, args.out)
     if args.tsv:
@@ -564,13 +640,15 @@ def build_parser() -> argparse.ArgumentParser:
         dest="sgd_zipf_space_quantization_step",
         type=int,
     )
-    p.add_argument("-u", "--path-sgd-cooling", dest="sgd_cooling", type=float)
+    p.add_argument("-K", "--path-sgd-cooling", dest="sgd_cooling", type=float)
     p.add_argument(
         "-F",
         "--iteration-max-learning-rate",
         dest="sgd_iter_with_max_learning_rate",
         type=int,
     )
+    p.add_argument("-u", "--path-sgd-snapshot", dest="sgd_snapshot", default=None)
+    p.add_argument("-H", "--target-paths", dest="sgd_target_paths", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_sort)
@@ -579,8 +657,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--out", default=None)
     p.add_argument("-T", "--tsv", default=None)
-    p.add_argument("-x", "--iter-max", type=int, default=None)
-    p.add_argument("-N", "--init", default="d", choices=list("drugh"))
+    p.add_argument("-X", "--path-index", default=None)
+    p.add_argument("-C", "--temp-dir", default=None)
+    p.add_argument("-f", "--path-sgd-use-paths", default=None)
+    p.add_argument("-N", "--init", "--layout-initialization", dest="init",
+                   default="d", choices=list("drugh"))
+    p.add_argument("-G", "--path-sgd-min-term-updates-paths", type=float)
+    p.add_argument("-U", "--path-sgd-min-term-updates-nodes", type=float)
+    p.add_argument("-j", "--path-sgd-delta", type=float)
+    p.add_argument("-g", "--path-sgd-eta", type=float)
+    p.add_argument("-v", "--path-sgd-eta-max", type=float)
+    p.add_argument("-a", "--path-sgd-zipf-theta", type=float)
+    p.add_argument("-x", "--path-sgd-iter-max", "--iter-max",
+                   dest="iter_max", type=int, default=None)
+    p.add_argument("-K", "--path-sgd-cooling", type=float)
+    p.add_argument("-F", "--path-sgd-iteration-max-learning-rate", type=int)
+    p.add_argument("-k", "--path-sgd-zipf-space", type=int)
+    p.add_argument("-I", "--path-sgd-zipf-space-max", type=int)
+    p.add_argument("-l", "--path-sgd-zipf-space-quantization-step", type=int)
+    p.add_argument("-q", "--path-sgd-seed", type=int)
+    p.add_argument("-u", "--path-sgd-snapshot", default=None)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_layout)
 
     p = sub.add_parser("paths", help="path information")

@@ -365,7 +365,7 @@ def _sample_pairs(key, start, data: SgdData, cfg: SgdConfig, cooling):
 # ---------------------------------------------------------------------------
 
 
-def _update_1d(X, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
+def _update_1d(X, key, start, data: SgdData, cfg: SgdConfig, eta, cooling, pin=None):
     cols_a, rows_b, valid, _ = _sample_pairs(key, start, data, cfg, cooling)
     pos_a = cols_a[_A_POS]
     pos_b = rows_b[:, _B_POS]
@@ -397,6 +397,10 @@ def _update_1d(X, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
         acc = jnp.zeros_like(X).at[i].add(-r_x).at[j].add(r_x)
         cnt = jnp.zeros_like(X).at[i].add(v).at[j].add(v)
         Xn = X + acc / jnp.maximum(cnt, 1.0)
+    if pin is not None:
+        # target-path pinning: pinned nodes never move
+        # (reference: path_sgd.cpp:285-302,387-392 target_sorting)
+        Xn = jnp.where(pin, X, Xn)
     batch_max = jnp.max(jnp.where(valid, jnp.abs(delta), 0.0))
     return Xn, batch_max
 
@@ -420,7 +424,7 @@ def _endpoints_2d(coin, handle, pos0, pos1):
     return ep, pos
 
 
-def _update_2d(coords, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
+def _update_2d(coords, key, start, data: SgdData, cfg: SgdConfig, eta, cooling, pin_ep=None):
     cols_a, rows_b, valid, w1 = _sample_pairs(key, start, data, cfg, cooling)
     coin_a = (w1 & 1).astype(jnp.bool_)
     coin_b = (w1 & 2).astype(jnp.bool_)
@@ -454,6 +458,8 @@ def _update_2d(coords, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
             jnp.zeros(coords.shape[0], jnp.float32).at[ep_a].add(v).at[ep_b].add(v)
         )
         out = coords + acc / jnp.maximum(cnt, 1.0)[:, None]
+    if pin_ep is not None:
+        out = jnp.where(pin_ep[:, None], coords, out)
     batch_max = jnp.max(jnp.where(valid, jnp.abs(delta), 0.0))
     return out, batch_max
 
@@ -470,7 +476,7 @@ def _batch_start(global_batch, B: int, S: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_batches"), donate_argnums=(0,))
-def sgd_1d_run(X, key, etas, data: SgdData, cfg: SgdConfig, num_batches: int):
+def sgd_1d_run(X, key, etas, data: SgdData, cfg: SgdConfig, num_batches: int, pin=None):
     """The COMPLETE 1D PG-SGD run in one device program: a fori_loop over
     iterations, each running `num_batches` update batches.
 
@@ -490,7 +496,7 @@ def sgd_1d_run(X, key, etas, data: SgdData, cfg: SgdConfig, num_batches: int):
         def body(b, X):
             kb = jax.random.fold_in(key_it, b)
             start = _batch_start(it * num_batches + b, B, S)
-            X, _ = _update_1d(X, kb, start, data, cfg, eta, cooling)
+            X, _ = _update_1d(X, kb, start, data, cfg, eta, cooling, pin)
             return X
 
         return jax.lax.fori_loop(0, num_batches, body, X)
@@ -503,7 +509,7 @@ def sgd_1d_run(X, key, etas, data: SgdData, cfg: SgdConfig, num_batches: int):
     static_argnames=("cfg", "cooling", "num_batches"),
     donate_argnums=(0,),
 )
-def sgd_1d_iteration(X, key, eta, it, data: SgdData, cfg: SgdConfig, cooling: bool, num_batches: int):
+def sgd_1d_iteration(X, key, eta, it, data: SgdData, cfg: SgdConfig, cooling: bool, num_batches: int, pin=None):
     """One 1D iteration (used when delta-based early stopping needs
     per-iteration Delta_max on the host; path_sgd.cpp:183-190)."""
     B, S = cfg.batch_size, data.num_steps
@@ -512,7 +518,7 @@ def sgd_1d_iteration(X, key, eta, it, data: SgdData, cfg: SgdConfig, cooling: bo
         X, dmax = carry
         kb = jax.random.fold_in(key, b)
         start = _batch_start(it * num_batches + b, B, S)
-        X, batch_max = _update_1d(X, kb, start, data, cfg, eta, cooling)
+        X, batch_max = _update_1d(X, kb, start, data, cfg, eta, cooling, pin)
         return X, jnp.maximum(dmax, batch_max)
 
     return jax.lax.fori_loop(0, num_batches, body, (X, jnp.float32(0.0)))
@@ -524,12 +530,19 @@ def path_sgd_1d(
     use_paths: Optional[Sequence[int]] = None,
     x0: Optional[np.ndarray] = None,
     progress: bool = False,
+    pin_nodes: Optional[np.ndarray] = None,
+    snapshot_cb=None,
 ) -> np.ndarray:
     """Run 1D PG-SGD; returns the final X positions (f64 host array).
 
     Seeds X with cumulative node lengths in current graph order
     (path_sgd.cpp:63-69).  Skips entirely when no path has >1 step
     (path_sgd.cpp:80-106).
+
+    `pin_nodes` (bool[N]) freezes target-path nodes (reference:
+    path_sgd.cpp:285-302 target_sorting); `snapshot_cb(it, X)` is invoked
+    with the host X after every iteration (reference: the -u snapshot
+    thread, path_sgd.cpp:408-433) and forces the per-iteration driver.
     """
     if cfg is None:
         cfg = derive_config_1d(g)
@@ -541,13 +554,14 @@ def path_sgd_1d(
     X = jnp.asarray(
         g.node_offset.astype(np.float32) if x0 is None else np.asarray(x0, np.float32)
     )
+    pin = jnp.asarray(pin_nodes, bool) if pin_nodes is not None else None
     etas = sgd_schedule(
         1.0 / cfg.eta_max, 1.0, cfg.iter_max, cfg.iter_with_max_learning_rate, cfg.eps
     )
     key = jax.random.key(cfg.seed, impl=cfg.rng_impl)
-    if cfg.delta <= 0:
+    if cfg.delta <= 0 and snapshot_cb is None:
         X = sgd_1d_run(
-            X, key, jnp.asarray(etas, jnp.float32), data, cfg, cfg.num_batches
+            X, key, jnp.asarray(etas, jnp.float32), data, cfg, cfg.num_batches, pin
         )
     else:
         for it in range(cfg.iter_max):
@@ -561,14 +575,17 @@ def path_sgd_1d(
                 cfg,
                 cooling,
                 cfg.num_batches,
+                pin,
             )
-            if float(dmax) <= cfg.delta:
+            if snapshot_cb is not None:
+                snapshot_cb(it, np.asarray(X, dtype=np.float64))
+            if cfg.delta > 0 and float(dmax) <= cfg.delta:
                 break
     return np.asarray(X, dtype=np.float64)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_batches"), donate_argnums=(0,))
-def sgd_2d_run(coords, key, etas, data: SgdData, cfg: SgdConfig, num_batches: int):
+def sgd_2d_run(coords, key, etas, data: SgdData, cfg: SgdConfig, num_batches: int, pin_ep=None):
     """The COMPLETE 2D layout run in one device program (see sgd_1d_run)."""
     first_cooling = cfg.first_cooling_iteration
     B, S = cfg.batch_size, data.num_steps
@@ -581,7 +598,7 @@ def sgd_2d_run(coords, key, etas, data: SgdData, cfg: SgdConfig, num_batches: in
         def body(b, coords):
             kb = jax.random.fold_in(key_it, b)
             start = _batch_start(it * num_batches + b, B, S)
-            coords, _ = _update_2d(coords, kb, start, data, cfg, eta, cooling)
+            coords, _ = _update_2d(coords, kb, start, data, cfg, eta, cooling, pin_ep)
             return coords
 
         return jax.lax.fori_loop(0, num_batches, body, coords)
@@ -594,7 +611,7 @@ def sgd_2d_run(coords, key, etas, data: SgdData, cfg: SgdConfig, num_batches: in
     static_argnames=("cfg", "cooling", "num_batches"),
     donate_argnums=(0,),
 )
-def sgd_2d_iteration(coords, key, eta, it, data: SgdData, cfg: SgdConfig, cooling: bool, num_batches: int):
+def sgd_2d_iteration(coords, key, eta, it, data: SgdData, cfg: SgdConfig, cooling: bool, num_batches: int, pin_ep=None):
     """One 2D layout iteration (delta-based early-stop path)."""
     B, S = cfg.batch_size, data.num_steps
 
@@ -602,7 +619,7 @@ def sgd_2d_iteration(coords, key, eta, it, data: SgdData, cfg: SgdConfig, coolin
         coords, dmax = carry
         kb = jax.random.fold_in(key, b)
         start = _batch_start(it * num_batches + b, B, S)
-        coords, batch_max = _update_2d(coords, kb, start, data, cfg, eta, cooling)
+        coords, batch_max = _update_2d(coords, kb, start, data, cfg, eta, cooling, pin_ep)
         return coords, jnp.maximum(dmax, batch_max)
 
     return jax.lax.fori_loop(0, num_batches, body, (coords, jnp.float32(0.0)))
@@ -614,17 +631,22 @@ def path_sgd_2d(
     cfg: Optional[SgdConfig] = None,
     use_paths: Optional[Sequence[int]] = None,
     progress: bool = False,
+    pin_nodes: Optional[np.ndarray] = None,
+    snapshot_cb=None,
 ) -> np.ndarray:
     """Run the 2D PG-SGD layout; returns coords (2N, 2) f64 host array.
 
     `coords0` is the (2N, 2) initial layout (see layout.py for the
-    d/r/u/g/h init modes of layout_main.cpp:268-330).
+    d/r/u/g/h init modes of layout_main.cpp:268-330).  `pin_nodes` freezes
+    target-path nodes; `snapshot_cb(it, coords)` receives per-iteration
+    coordinates (the -u snapshot thread, path_sgd_layout.cpp:379-408) and
+    forces the per-iteration driver.  Both disable the fused Pallas path.
     """
     if cfg is None:
         cfg = derive_config_2d(g)
     if not (g.path_step_count > 1).any():
         return np.asarray(coords0, np.float64)
-    if cfg.pallas:
+    if cfg.pallas and pin_nodes is None and snapshot_cb is None:
         from .pallas_sgd import pallas_supported, path_sgd_2d_pallas
 
         g_eff = g
@@ -636,13 +658,19 @@ def path_sgd_2d(
         g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step, use_paths
     )
     coords = jnp.asarray(np.asarray(coords0, np.float32))
+    pin_ep = (
+        jnp.asarray(np.repeat(np.asarray(pin_nodes, bool), 2))
+        if pin_nodes is not None
+        else None
+    )
     etas = sgd_schedule(
         1.0 / cfg.eta_max, 1.0, cfg.iter_max, cfg.iter_with_max_learning_rate, cfg.eps
     )
     key = jax.random.key(cfg.seed, impl=cfg.rng_impl)
-    if cfg.delta <= 0:
+    if cfg.delta <= 0 and snapshot_cb is None:
         coords = sgd_2d_run(
-            coords, key, jnp.asarray(etas, jnp.float32), data, cfg, cfg.num_batches
+            coords, key, jnp.asarray(etas, jnp.float32), data, cfg,
+            cfg.num_batches, pin_ep,
         )
     else:
         for it in range(cfg.iter_max):
@@ -656,7 +684,10 @@ def path_sgd_2d(
                 cfg,
                 cooling,
                 cfg.num_batches,
+                pin_ep,
             )
-            if float(dmax) <= cfg.delta:
+            if snapshot_cb is not None:
+                snapshot_cb(it, np.asarray(coords, dtype=np.float64))
+            if cfg.delta > 0 and float(dmax) <= cfg.delta:
                 break
     return np.asarray(coords, dtype=np.float64)
