@@ -99,10 +99,44 @@ def two_way_topological_order(g: GraphTensors) -> np.ndarray:
 
 
 def cycle_breaking_order(g: GraphTensors) -> np.ndarray:
-    """DFS-based cycle-breaking sort (reference: cycle_breaking_sort.cpp,
-    'c' code): DFS from heads recording discovery order; back edges are
-    implicitly broken by the DFS tree, so the discovery order is returned."""
-    return depth_first_topological_order(g)
+    """DFS-based cycle-breaking sort (reference: cycle_breaking_sort.cpp
+    :9-32): run the reference's handle-DFS (dfs.cpp:10-175) from every
+    forward handle in rank order; at each handle EXIT record
+    (tree_edge_count, postorder_index, node); ascending sort of those
+    triples is the order.  Back edges never advance the tree-edge counter,
+    which is what breaks cycles."""
+    adj = g.adjacency
+    N = g.num_nodes
+    PRE, CURR, POST = 0, 1, 2
+    state = {}
+    rank = [None] * N
+    i = 0
+    j = 0
+    for root_rank in range(N):
+        root = root_rank << 1
+        if state.get(root, PRE) != PRE:
+            continue
+        state[root] = CURR
+        stack = [(root, [int(t) for t in adj.neighbors(root)], 0)]
+        while stack:
+            h, targets, idx = stack.pop()
+            advanced = False
+            while idx < len(targets):
+                t = targets[idx]
+                idx += 1
+                if state.get(t, PRE) == PRE:
+                    j += 1  # tree edge (tree_fn: ++j)
+                    stack.append((h, targets, idx))
+                    state[t] = CURR
+                    stack.append((t, [int(x) for x in adj.neighbors(t)], 0))
+                    advanced = True
+                    break
+            if not advanced:
+                state[h] = POST
+                rank[h >> 1] = (j, i, h >> 1)
+                i += 1
+    order = np.array([r[2] for r in sorted(rank)], dtype=np.int64)
+    return order
 
 
 def dagify_sort_order(g: GraphTensors) -> np.ndarray:

@@ -408,15 +408,13 @@ def cmd_unchop(args):
 
 
 def cmd_normalize(args):
+    """unchop + simplify_siblings fixpoint (reference:
+    src/subcommand/normalize_main.cpp + src/algorithms/normalize.cpp)."""
     from .main import load_any, _out_graph
-    from ..algorithms.unchop import unchop
+    from ..algorithms.simplify import normalize
 
     g = load_any(args.input)
-    for _ in range(args.max_iterations):
-        g2 = unchop(g)
-        if g2.num_nodes == g.num_nodes:
-            break
-        g = g2
+    g = normalize(g, max_iter=args.max_iterations)
     _out_graph(g, args.out)
     return 0
 
