@@ -147,6 +147,18 @@ def sort_pipeline(
             from .sorts_extra import dagify_sort_order
 
             g = g.apply_ordering(dagify_sort_order(g), compact_ids=True)
+        elif c == "e":
+            # extension: Eades feedback-arc-set heuristic
+            # (reference library: eades_algorithm.cpp; no reference CLI code)
+            from .graph_misc import eades_order
+
+            g = g.apply_ordering(eades_order(g), compact_ids=True)
+        elif c == "l":
+            # extension: non-path linear SGD (reference library:
+            # linear_sgd.hpp:26-45; no reference CLI code)
+            from .graph_misc import linear_sgd_order
+
+            g = g.apply_ordering(linear_sgd_order(g), compact_ids=True)
         else:
             raise ValueError(f"unsupported sort pipeline code {c!r}")
     return g

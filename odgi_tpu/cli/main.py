@@ -31,6 +31,16 @@ def load_any(path: str):
         return load_graph(path)
     if head[:4] == OG_MAGIC_BE:
         return load_og(path)
+    if head[:4] == b"GFAZ":
+        # grammar-compressed GFA sniffing (reference: src/utils.cpp:16-25);
+        # the GFAz codec is a vendored dep absent from the reference
+        # snapshot, so decompression is not supported here
+        print(
+            f"[odgi] error: {path} is a GFAz (compressed GFA) file; "
+            "decompress it to GFAv1 first (GFAz decoding unsupported).",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     return parse_gfa(path)
 
 
@@ -119,6 +129,7 @@ def cmd_stats(args):
             args.penalize_different_orientation, args.path_statistics,
             args.weighted_feedback_arc, args.weighted_reversing_join,
             args.links_length_per_nuc, args.multiqc, args.yaml,
+            args.is_acyclic, args.count_walks, args.shortest_cycle,
         ]
     )
 
@@ -343,6 +354,22 @@ def cmd_stats(args):
                 for p in range(g.num_paths):
                     print(f"{g.path_names[p]}\t{int(per[p])}")
             print(f"all_paths\t{total}")
+
+    if getattr(args, "is_acyclic", False):
+        from ..algorithms.graph_misc import is_acyclic
+
+        print("is_acyclic: " + ("yes" if is_acyclic(g) else "no"))
+
+    if getattr(args, "count_walks", False):
+        from ..algorithms.graph_misc import count_walks
+
+        print(f"count_walks: {count_walks(g)}")
+
+    if getattr(args, "shortest_cycle", False):
+        from ..algorithms.graph_misc import shortest_cycle_length
+
+        c = shortest_cycle_length(g)
+        print(f"shortest_cycle_length: {c if c < (1 << 63) - 1 else 'none'}")
 
     if args.links_length_per_nuc:
         links_len, nucs = stats.links_length_per_nuc(g)
@@ -602,6 +629,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", "--links_length_per_nuc", "--links-length-per-nuc",
                    dest="links_length_per_nuc", action="store_true")
     p.add_argument("-N", "--nondeterministic-edges", action="store_true")
+    p.add_argument("--is-acyclic", action="store_true",
+                   help="extension: whole-graph acyclicity check")
+    p.add_argument("--count-walks", action="store_true",
+                   help="extension: source-to-sink walk count")
+    p.add_argument("--shortest-cycle", action="store_true",
+                   help="extension: shortest cycle length in bp")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_stats)
