@@ -152,3 +152,111 @@ def sharded_layout(
     fn = make_sharded_sgd_2d(mesh, cfg, cfg.num_batches)
     out = fn(coords, jax.random.key(cfg.seed, impl=cfg.rng_impl), etas, data)
     return np.asarray(out, np.float64)
+
+
+def _local_acc_1d(X, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
+    """One device's (N, 2) [dx, count] accumulator for a local 1D batch.
+    Mirrors ops.sgd._update_1d but returns the accumulator for psum."""
+    from ..ops.sgd import _A_HANDLE, _A_POS, _B_HANDLE, _B_POS
+
+    cols_a, rows_b, valid, _ = _sample_pairs(key, start, data, cfg, cooling)
+    pos_a = cols_a[_A_POS]
+    pos_b = rows_b[:, _B_POS]
+    i = cols_a[_A_HANDLE] >> 1
+    j = rows_b[:, _B_HANDLE] >> 1
+    term_dist = jnp.abs(pos_a - pos_b).astype(jnp.float32)
+    valid = valid & (term_dist != 0)
+    w = 1.0 / jnp.maximum(term_dist, 1e-30)
+    mu = jnp.minimum(eta * w, 1.0)
+    dx = X[i] - X[j]
+    dx = jnp.where(dx == 0.0, 1e-9, dx)
+    mag = jnp.abs(dx)
+    delta = mu * (mag - term_dist) / 2.0
+    r_x = jnp.where(valid, delta / mag * dx, 0.0)
+    v = valid.astype(jnp.float32)
+    N = X.shape[0]
+    if cfg.mxu_coords:
+        acc = factored_scatter_add(
+            N, i, jnp.stack([-r_x, v], 1)
+        ) + factored_scatter_add(N, j, jnp.stack([r_x, v], 1))
+    else:
+        acc = (
+            jnp.zeros((N, 2), jnp.float32)
+            .at[i].add(jnp.stack([-r_x, v], 1))
+            .at[j].add(jnp.stack([r_x, v], 1))
+        )
+    return acc
+
+
+def make_sharded_sgd_1d(mesh: Mesh, cfg: SgdConfig, num_batches: int, axis: str = "data"):
+    """Multi-chip 1D PG-SGD: replicated X, sharded pair sampling, psum
+    merge per batch round — the 1D analog of make_sharded_sgd_2d (the
+    capability the reference's dead NCCL never delivered,
+    reference: src/cuda/layout.cu:15-22)."""
+    first_cooling = cfg.first_cooling_iteration
+    n_dev = int(np.prod(mesh.devices.shape))
+    B = cfg.batch_size
+
+    def run(X, key, etas, data: SgdData):
+        dev = jax.lax.axis_index(axis)
+        S = data.num_steps
+
+        def iter_body(it, X):
+            eta = etas[it]
+            cooling = it > first_cooling
+            key_it = jax.random.fold_in(key, it)
+
+            def body(b, X):
+                kb = jax.random.fold_in(key_it, b)
+                kd = jax.random.fold_in(kb, dev)
+                g_batch = (it * num_batches + b) * n_dev + dev
+                start = _batch_start(g_batch, B, S)
+                acc = _local_acc_1d(X, kd, start, data, cfg, eta, cooling)
+                acc = jax.lax.psum(acc, axis)
+                return X + acc[:, 0] / jnp.maximum(acc[:, 1], 1.0)
+
+            return jax.lax.fori_loop(0, num_batches, body, X)
+
+        return jax.lax.fori_loop(0, cfg.iter_max, iter_body, X)
+
+    replicated = P()
+    fn = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(replicated, replicated, replicated, replicated),
+        out_specs=replicated,
+    )
+    return jax.jit(fn)
+
+
+def sharded_sort_order(
+    g,
+    mesh: Optional[Mesh] = None,
+    cfg: Optional[SgdConfig] = None,
+):
+    """End-to-end multi-chip 1D PG-SGD node order over all visible devices
+    (the `odgi sort -Y` hot step, data-parallel)."""
+    from ..algorithms.path_sgd_sort import order_from_x
+    from ..ops.sgd import derive_config_1d, sgd_schedule
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+    if cfg is None:
+        cfg = derive_config_1d(g)
+    data = SgdData.build(
+        g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step
+    )
+    X = jnp.asarray(g.node_offset.astype(np.float32))
+    etas = jnp.asarray(
+        sgd_schedule(
+            1.0 / cfg.eta_max, 1.0, cfg.iter_max,
+            cfg.iter_with_max_learning_rate, cfg.eps,
+        ),
+        jnp.float32,
+    )
+    fn = make_sharded_sgd_1d(mesh, cfg, cfg.num_batches)
+    X = np.asarray(
+        fn(X, jax.random.key(cfg.seed, impl=cfg.rng_impl), etas, data),
+        np.float64,
+    )
+    return order_from_x(g, X)

@@ -53,3 +53,64 @@ def test_sharded_replicas_consistent(graph):
     out1 = np.asarray(fn(coords, jax.random.PRNGKey(0), etas, data))
     out2 = np.asarray(fn(coords, jax.random.PRNGKey(0), etas, data))
     assert np.array_equal(out1, out2)  # deterministic across runs
+
+
+def test_sharded_1d_runs_and_improves(graph):
+    from odgi_tpu.parallel.sharded import sharded_sort_order
+
+    g = graph
+    cfg = sgd.derive_config_1d(g, iter_max=10, batch_size=2048)
+    order = sharded_sort_order(g, cfg=cfg)
+    assert sorted(order.tolist()) == list(range(g.num_nodes))
+    g2 = g.apply_ordering(order, compact_ids=True)
+    d0 = stats.sum_of_path_node_distances(g).all_nt_space
+    d1 = stats.sum_of_path_node_distances(g2).all_nt_space
+    assert d1 < d0
+
+
+def test_psum_merge_equals_concatenated_big_batch(graph):
+    """The core semantic claim of parallel/sharded.py: an n-device psum
+    mean-merge equals a single-chip merge over the union of the n local
+    batches (n-times-larger effective batch)."""
+    import jax.numpy as jnp
+    from odgi_tpu.ops.sgd import _batch_start, sgd_schedule
+    from odgi_tpu.parallel.sharded import (
+        _local_acc_1d,
+        make_sharded_sgd_1d,
+    )
+
+    g = graph
+    cfg = sgd.derive_config_1d(g, iter_max=1, batch_size=1024)
+    data = sgd.SgdData.build(
+        g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step
+    )
+    X0 = jnp.asarray(g.node_offset.astype(np.float32))
+    etas = jnp.asarray(
+        sgd_schedule(
+            1.0 / cfg.eta_max, 1.0, cfg.iter_max,
+            cfg.iter_with_max_learning_rate, cfg.eps,
+        ),
+        jnp.float32,
+    )
+    key = jax.random.key(cfg.seed, impl=cfg.rng_impl)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    n_dev = 8
+
+    # n-device run: 1 iteration x 1 batch round
+    fn = make_sharded_sgd_1d(mesh, cfg, num_batches=1)
+    out_sharded = np.asarray(fn(X0, key, etas, data))
+
+    # single-chip emulation of the same round: same per-device windows and
+    # RNG folds, accumulators summed (what psum does), one mean merge
+    key_it = jax.random.fold_in(key, 0)
+    kb = jax.random.fold_in(key_it, 0)
+    eta = etas[0]
+    acc = jnp.zeros((g.num_nodes, 2), jnp.float32)
+    for dev in range(n_dev):
+        kd = jax.random.fold_in(kb, dev)
+        start = _batch_start(dev, cfg.batch_size, data.num_steps)
+        acc = acc + _local_acc_1d(X0, kd, start, data, cfg, eta, False)
+    out_single = np.asarray(
+        X0 + acc[:, 0] / jnp.maximum(acc[:, 1], 1.0)
+    )
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-5, atol=1e-3)
