@@ -362,17 +362,87 @@ def cmd_degree(args):
 
 
 def cmd_viz(args):
+    """`odgi viz` driver with the reference's main flag families
+    (reference: src/subcommand/viz_main.cpp:52-160): color modes (strand
+    -z is our 'strand', mean-inversion -z gradients 'inversion', uncalled
+    -N, prefix -s, custom -c FILE, depth w/ colorbrewer -B), path-name
+    labels (-H/-C), prefix merging -M, ignore -I, packing -R, borders
+    -n/-b, darkness gradient -d, node highlighting -m."""
     from .main import load_any
-    from ..algorithms.viz import save_viz_png
+    from ..algorithms.viz import render_viz
 
     g = load_any(args.input)
-    save_viz_png(
+    color_by = args.color_by
+    if args.color_by_mean_inversion_rate:
+        color_by = "inversion"
+    elif args.color_by_uncalled_bases:
+        color_by = "uncalled"
+    elif args.color_by_prefix:
+        color_by = "prefix"
+    elif args.color_by_mean_depth:
+        color_by = "depth"
+
+    path_colors = None
+    if args.path_colors_file:
+        path_colors = {}
+        with open(args.path_colors_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                name, _, spec = line.partition("\t")
+                spec = spec.strip()
+                if spec.startswith("#"):
+                    rgb = tuple(
+                        int(spec[i : i + 2], 16) for i in (1, 3, 5)
+                    )
+                else:
+                    rgb = tuple(int(v) for v in spec.split(","))[:3]
+                path_colors[name] = rgb
+
+    merge_prefixes = None
+    if args.prefix_merges:
+        with open(args.prefix_merges) as f:
+            merge_prefixes = [l.strip() for l in f if l.strip()]
+
+    highlight = None
+    if args.highlight_node_ids:
+        with open(args.highlight_node_ids) as f:
+            highlight = [int(l) for l in f if l.strip()]
+
+    paths = None
+    if args.path_names_file:
+        paths = []
+        with open(args.path_names_file) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    paths.append(g.path_names.index(line))
+
+    img = render_viz(
         g,
-        args.out,
         width=args.width,
         path_height=args.path_height,
-        color_by=args.color_by,
+        color_by=color_by,
+        paths=paths,
+        prefix_delim=args.color_by_prefix or "#",
+        path_colors=path_colors,
+        colorbrewer_scheme=args.colorbrewer_palette,
+        no_grey_depth=args.no_grey_depth,
+        pack_paths=args.pack_paths,
+        merge_prefixes=merge_prefixes,
+        ignore_prefix=args.ignore_prefix,
+        show_path_names=not args.hide_path_names,
+        color_path_names_background=args.color_path_names_background,
+        max_name_chars=min(args.max_num_of_characters, 128),
+        path_borders=not args.no_path_borders,
+        black_path_borders=args.black_path_borders,
+        change_darkness=args.change_darkness,
+        highlight_nodes=highlight,
     )
+    from PIL import Image
+
+    Image.fromarray(img, "RGB").save(args.out)
     return 0
 
 
@@ -1183,11 +1253,35 @@ def register(sub):
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--out", required=True)
     p.add_argument("-x", "--width", type=int, default=1500)
-    p.add_argument("-y", "--path-height", type=int, default=10)
+    p.add_argument("-a", "--path-height", "-y", dest="path_height",
+                   type=int, default=10)
     p.add_argument(
-        "-c", "--color-by", default="path",
-        choices=["path", "strand", "depth", "gray"],
+        "--color-by", default="path",
+        choices=["path", "strand", "depth", "gray", "inversion",
+                 "uncalled", "prefix"],
     )
+    p.add_argument("-z", "--color-by-mean-inversion-rate",
+                   action="store_true")
+    p.add_argument("-N", "--color-by-uncalled-bases", action="store_true")
+    p.add_argument("-s", "--color-by-prefix", default=None)
+    p.add_argument("-c", "--path-colors-file", default=None)
+    p.add_argument("-m", "--color-by-mean-depth", action="store_true")
+    p.add_argument("-B", "--colorbrewer-palette", default=None)
+    p.add_argument("--no-grey-depth", action="store_true")
+    p.add_argument("-R", "--pack-paths", action="store_true")
+    p.add_argument("-M", "--prefix-merges", default=None)
+    p.add_argument("-I", "--ignore-prefix", default=None)
+    p.add_argument("-p", "--path-names-file", default=None)
+    p.add_argument("-H", "--hide-path-names", action="store_true")
+    p.add_argument("-C", "--color-path-names-background",
+                   action="store_true")
+    p.add_argument("--max-num-of-characters", type=int, default=32)
+    p.add_argument("-n", "--no-path-borders", action="store_true")
+    p.add_argument("-b", "--black-path-borders", action="store_true")
+    p.add_argument("-d", "--change-darkness", action="store_true")
+    p.add_argument("--highlight-node-ids", default=None)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_viz)
 
     p = sub.add_parser("draw", help="2D layout PNG")

@@ -120,7 +120,7 @@ def test_viz_renders(t_gfa, tmp_path):
     assert b.mean_depth.sum() * (t_gfa.total_length / 100) == pytest.approx(
         int(t_gfa.path_length[0]), rel=1e-6
     )
-    img = render_viz(t_gfa, width=200)
+    img = render_viz(t_gfa, width=200, show_path_names=False)
     assert img.shape[1] == 200
     p = str(tmp_path / "t.png")
     save_viz_png(t_gfa, p, width=200)
