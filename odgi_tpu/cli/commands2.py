@@ -447,15 +447,36 @@ def cmd_viz(args):
 
 
 def cmd_draw(args):
+    """`odgi draw` with PNG and SVG outputs (reference:
+    src/subcommand/draw_main.cpp; SVG: src/algorithms/draw.cpp:200-443)."""
     from .main import load_any
-    from ..algorithms.draw import draw_png
+    from ..algorithms.draw import bed_node_colors, draw_png, draw_svg
     from ..io.lay import load_layout
 
     g = load_any(args.input)
     coords = load_layout(args.coords_in)
-    draw_png(
-        g, coords, args.png, width=args.width, color_by=args.color_by
-    )
+    node_colors = bed_node_colors(g, args.bed) if args.bed else None
+    if args.png:
+        draw_png(
+            g, coords, args.png, width=args.width, color_by=args.color_by
+        )
+    if args.svg:
+        draw_svg(
+            g,
+            coords,
+            args.svg,
+            scale=args.scale,
+            border=args.border,
+            line_width=args.line_width,
+            node_colors=node_colors,
+            sparsification_factor=args.sparsification_factor,
+        )
+    if not args.png and not args.svg:
+        print(
+            "[odgi::draw] error: specify -p/--png and/or -s/--svg output",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 
@@ -1284,12 +1305,18 @@ def register(sub):
     p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_viz)
 
-    p = sub.add_parser("draw", help="2D layout PNG")
+    p = sub.add_parser("draw", help="2D layout PNG/SVG")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-c", "--coords-in", required=True)
-    p.add_argument("-p", "--png", required=True)
+    p.add_argument("-p", "--png", default=None)
+    p.add_argument("-s", "--svg", default=None)
     p.add_argument("-w", "--width", type=int, default=1000)
     p.add_argument("-C", "--color-by", default="node", choices=["node", "path"])
+    p.add_argument("-R", "--scale", type=float, default=0.01)
+    p.add_argument("-B", "--border", type=float, default=100.0)
+    p.add_argument("--line-width", type=float, default=10.0)
+    p.add_argument("-b", "--bed", default=None)
+    p.add_argument("--sparsification-factor", type=float, default=0.0)
     p.set_defaults(fn=cmd_draw)
 
     p = sub.add_parser("chop", help="chop nodes to max length")

@@ -123,3 +123,62 @@ def test_viz_pixel_regression():
     assert covered.any()
     first_color = viz._PATH_COLORS[0]
     assert (row[covered] == first_color).all()
+
+
+def test_draw_svg_structure(tmp_path):
+    import io as _io
+
+    from odgi_tpu.algorithms.draw import draw_svg
+    from odgi_tpu.algorithms.layout import init_layout
+
+    g = odgi_tpu.parse_gfa(T_GFA)
+    coords = init_layout(g, "d")
+    buf = _io.StringIO()
+    draw_svg(g, coords, buf, node_labels={0: ["node1"]})
+    svg = buf.getvalue()
+    assert svg.startswith("<svg ") and svg.rstrip().endswith("</svg>")
+    assert svg.count("<line ") == g.num_nodes
+    assert "<text " in svg and "node1" in svg
+
+
+def test_draw_svg_colors_and_sparsification(tmp_path):
+    import io as _io
+
+    import numpy as np
+    from odgi_tpu.algorithms.draw import draw_svg
+    from odgi_tpu.algorithms.layout import init_layout
+
+    g = odgi_tpu.parse_gfa(T_GFA)
+    coords = init_layout(g, "d")
+    colors = np.zeros((g.num_nodes, 3), np.uint8)
+    colors[3] = (255, 0, 0)
+    buf = _io.StringIO()
+    draw_svg(g, coords, buf, node_colors=colors)
+    svg = buf.getvalue()
+    assert 'stroke="#ff0000"' in svg
+    # highlighted node is drawn after the black base layer
+    assert svg.rindex('stroke="#ff0000"') > svg.index('stroke="#000000"')
+    buf2 = _io.StringIO()
+    draw_svg(g, coords, buf2, sparsification_factor=0.9)
+    assert buf2.getvalue().count("<line ") < g.num_nodes
+
+
+def test_draw_bed_node_colors(tmp_path):
+    from odgi_tpu.algorithms.draw import bed_node_colors
+
+    g = odgi_tpu.parse_gfa(T_GFA)
+    bed = tmp_path / "x.bed"
+    bed.write_text("x\t0\t10\tgene1\t0\t+\t0\t0\t255,0,0\n")
+    colors = bed_node_colors(g, str(bed))
+    assert colors is not None
+    assert (colors == (255, 0, 0)).all(axis=1).any()
+    assert (colors == (0, 0, 0)).all(axis=1).any()
+
+
+def test_draw_cli_svg(tmp_path):
+    lay = tmp_path / "t.lay"
+    rc = cli_main(["layout", "-i", T_GFA, "-o", str(lay), "-x", "2"])
+    assert rc == 0
+    svg = tmp_path / "t.svg"
+    rc = cli_main(["draw", "-i", T_GFA, "-c", str(lay), "-s", str(svg)])
+    assert rc == 0 and svg.stat().st_size > 0
