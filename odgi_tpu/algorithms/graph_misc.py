@@ -392,3 +392,177 @@ def linear_sgd_order(
             X[i] -= r_x
             X[j] += r_x
     return np.argsort(X, kind="stable").astype(np.int64)
+
+
+def _forward_scc(succ: List[List[int]], n: int) -> List[List[int]]:
+    """Tarjan SCCs of the forward digraph (iterative)."""
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack: List[int] = []
+    comps: List[List[int]] = []
+    counter = 0
+    for root in range(n):
+        if index[root] >= 0:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            for k in range(pi, len(succ[v])):
+                w = succ[v][k]
+                if index[w] < 0:
+                    work[-1] = (v, k + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+    return comps
+
+
+def dagify(
+    g: GraphTensors, min_preserved_path_length: int = 1
+) -> Tuple[GraphTensors, Dict[int, int]]:
+    """Unroll cycles into a DAG by duplicating strongly connected
+    components until every path of `min_preserved_path_length` bp is
+    preserved (reference: src/algorithms/dagify.cpp:12-260).  Requires a
+    single-stranded graph (apply split_strands first, as dagify_sort
+    does); returns (dag, {new_id: old_id})."""
+    n = g.num_nodes
+    adj = g.adjacency
+    succ: List[List[int]] = [[] for _ in range(n)]
+    for r in range(n):
+        for t in adj.neighbors(r << 1):
+            if int(t) & 1:
+                raise ValueError(
+                    "dagify requires a single-stranded graph; run "
+                    "split_strands first (reference: dagify.cpp:21-23)"
+                )
+            succ[r].append(int(t) >> 1)
+
+    comps = _forward_scc(succ, n)
+    comp_of = {}
+    for ci, comp in enumerate(comps):
+        for r in comp:
+            comp_of[r] = ci
+
+    b = GraphBuilder()
+    translator: Dict[int, int] = {}
+    next_id = 1
+    copies: Dict[int, List[int]] = {r: [] for r in range(n)}  # rank -> new ids
+    INF = float("inf")
+
+    for comp in comps:
+        layout = sorted(comp)
+        order_in = {r: i for i, r in enumerate(layout)}
+        fwd_edges: List[List[int]] = [[] for _ in layout]
+        bwd_edges: List[Tuple[int, int]] = []
+        for r in comp:
+            i = order_in[r]
+            for w in succ[r]:
+                if comp_of.get(w) != comp_of[r]:
+                    continue
+                j = order_in[w]
+                if i < j:
+                    fwd_edges[i].append(j)
+                else:
+                    bwd_edges.append((i, j))
+        lens = [int(g.node_len[r]) for r in layout]
+        dist = [INF] * len(layout)
+        for i, _ in bwd_edges:
+            dist[i] = -lens[i]
+        min_relaxed = -1
+        copy_num = 0
+        while min_relaxed < min_preserved_path_length:
+            if copy_num == len(copies[layout[0]]):
+                for r in layout:
+                    nid = next_id
+                    next_id += 1
+                    b.add_node(nid, g.node_seq(r))
+                    translator[nid] = int(g.node_id[r])
+                    copies[r].append(nid)
+                for i, js in enumerate(fwd_edges):
+                    for j in js:
+                        b.add_edge(
+                            copies[layout[i]][-1], False,
+                            copies[layout[j]][-1], False,
+                        )
+                if copy_num > 0:
+                    for i, j in bwd_edges:
+                        b.add_edge(
+                            copies[layout[i]][-2], False,
+                            copies[layout[j]][-1], False,
+                        )
+            next_dist = [INF] * len(layout)
+            for i in range(len(layout)):
+                if dist[i] == INF:
+                    continue
+                thru = dist[i] + lens[i]
+                for j in fwd_edges[i]:
+                    dist[j] = min(dist[j], thru)
+            min_relaxed = INF
+            for i, j in bwd_edges:
+                if dist[i] == INF:
+                    continue
+                thru = dist[i] + lens[i]
+                if thru < next_dist[j]:
+                    next_dist[j] = thru
+                    min_relaxed = min(min_relaxed, thru)
+            dist = next_dist
+            copy_num += 1
+            if not bwd_edges:
+                break  # acyclic component: one copy suffices
+
+    # cross-component edges attach the last copy of the source to the
+    # first copy of the target (reference: dagify.cpp:262-300)
+    for r in range(n):
+        for w in succ[r]:
+            if comp_of[w] != comp_of[r]:
+                b.add_edge(copies[r][-1], False, copies[w][0], False)
+    return b.build(), translator
+
+
+def dagify_sort_order_exact(g: GraphTensors) -> np.ndarray:
+    """The reference's dagify sort (reference: dagify_sort.cpp:6-40):
+    split strands, dagify, topologically sort the DAG, then order original
+    nodes by their mean position over forward copies."""
+    from .topological import topological_order
+
+    split, split_tr = split_strands(g)
+    dag, dag_tr = dagify(split, 1)
+    order = topological_order(dag, use_heads=True)
+    pos_sum: Dict[int, int] = {}
+    pos_cnt: Dict[int, int] = {}
+    for i, r in enumerate(order):
+        split_id = dag_tr[int(dag.node_id[int(r)])]
+        orig_id, was_rev = split_tr[split_id]
+        if was_rev:
+            continue
+        pos_sum[orig_id] = pos_sum.get(orig_id, 0) + i
+        pos_cnt[orig_id] = pos_cnt.get(orig_id, 0) + 1
+    avg = sorted(
+        ((pos_sum[i] / pos_cnt[i], i) for i in pos_sum),
+    )
+    id_to_rank = g.id_to_rank
+    return np.array([id_to_rank[i] for _, i in avg], dtype=np.int64)

@@ -140,90 +140,11 @@ def cycle_breaking_order(g: GraphTensors) -> np.ndarray:
 
 
 def dagify_sort_order(g: GraphTensors) -> np.ndarray:
-    """Dagify-based sort (reference: dagify.cpp + dagify_sort.cpp, 'd'
-    code): the reference unrolls cycles into a DAG, sorts it, and projects
-    back.  Equivalent order: condense strongly-connected components, sort
-    the condensation topologically (Kahn), and order nodes by (component
-    topo rank, in-component BFS rank)."""
-    n = g.num_nodes
-    if n == 0:
-        return np.empty(0, dtype=np.int64)
-    # Tarjan SCC over the node digraph (right-side edges only, both
-    # orientations collapse onto nodes — matches dagify's cycle notion
-    # on the bidirected graph closely enough for ordering purposes).
-    adj = g.adjacency
-    succ = [[] for _ in range(n)]
-    for r in range(n):
-        for side in (r << 1, (r << 1) | 1):
-            for nb in adj.neighbors(side):
-                succ[r].append(int(nb) >> 1)
-    index = np.full(n, -1, dtype=np.int64)
-    low = np.zeros(n, dtype=np.int64)
-    comp = np.full(n, -1, dtype=np.int64)
-    on_stack = np.zeros(n, dtype=bool)
-    stack: List[int] = []
-    counter = 0
-    ncomp = 0
-    for root in range(n):
-        if index[root] != -1:
-            continue
-        work = [(root, 0)]
-        while work:
-            v, pi = work[-1]
-            if pi == 0:
-                index[v] = low[v] = counter
-                counter += 1
-                stack.append(v)
-                on_stack[v] = True
-            advanced = False
-            while pi < len(succ[v]):
-                w = succ[v][pi]
-                pi += 1
-                if index[w] == -1:
-                    work[-1] = (v, pi)
-                    work.append((w, 0))
-                    advanced = True
-                    break
-                elif on_stack[w]:
-                    low[v] = min(low[v], index[w])
-            if advanced:
-                continue
-            work[-1] = (v, pi)
-            if pi >= len(succ[v]):
-                if low[v] == index[v]:
-                    while True:
-                        w = stack.pop()
-                        on_stack[w] = False
-                        comp[w] = ncomp
-                        if w == v:
-                            break
-                    ncomp += 1
-                work.pop()
-                if work:
-                    u = work[-1][0]
-                    low[u] = min(low[u], low[v])
-    # Kahn over the condensation
-    indeg = np.zeros(ncomp, dtype=np.int64)
-    cadj = [set() for _ in range(ncomp)]
-    for v in range(n):
-        for w in succ[v]:
-            a, b = comp[v], comp[w]
-            if a != b and b not in cadj[a]:
-                cadj[a].add(b)
-                indeg[b] += 1
-    from heapq import heapify, heappop, heappush
+    """Dagify-based sort (reference: dagify_sort.cpp:6-40, 'd' code):
+    split strands, unroll cycles into a DAG by SCC duplication
+    (dagify.cpp:12-260), topologically sort the DAG, and order original
+    nodes by their mean position over forward copies."""
+    from .graph_misc import dagify_sort_order_exact
 
-    ready = [c for c in range(ncomp) if indeg[c] == 0]
-    heapify(ready)
-    crank = np.zeros(ncomp, dtype=np.int64)
-    k = 0
-    while ready:
-        c = heappop(ready)
-        crank[c] = k
-        k += 1
-        for d in sorted(cadj[c]):
-            indeg[d] -= 1
-            if indeg[d] == 0:
-                heappush(ready, d)
-    order = np.lexsort((np.arange(n), crank[comp]))
-    return order.astype(np.int64)
+    return dagify_sort_order_exact(g)
+

@@ -120,3 +120,26 @@ def test_progress_meter_runs():
     out = buf.getvalue()
     assert "[odgi_tpu::test]" in out
     assert "100.00%" in out
+
+
+def test_dagify_unrolls_cycles():
+    b = GraphBuilder()
+    for i in (1, 2, 3, 4):
+        b.add_node(i, b"AAAA")
+    b.add_edge(1, False, 2, False)
+    b.add_edge(2, False, 3, False)
+    b.add_edge(3, False, 2, False)  # cycle 2<->3
+    b.add_edge(3, False, 4, False)
+    g = b.build()
+    sp, _ = gm.split_strands(g)
+    dag, tr = gm.dagify(sp, 1)
+    assert gm.is_acyclic(dag)
+    assert dag.num_nodes > sp.num_nodes  # the cycle was duplicated
+    # every dag node maps back to a split node
+    assert all(v in [int(i) for i in sp.node_id] for v in tr.values())
+
+
+def test_dagify_sort_order_projects_back():
+    g = odgi_tpu.parse_gfa(T_GFA)
+    o = gm.dagify_sort_order_exact(g)
+    assert sorted(o.tolist()) == list(range(g.num_nodes))
