@@ -1170,31 +1170,82 @@ def cmd_position(args):
 
 
 def cmd_extract(args):
+    """`odgi extract` driver (reference: src/subcommand/extract_main.cpp):
+    node/range/BED/pangenomic-range selection, context expansion in steps
+    (-c) or bases (-L), inverse selection (-I), full-range lacing (-E),
+    pathless-node dropping (-d) and id compaction (-O)."""
+    import numpy as np
+
     from .main import load_any, _out_graph
-    from ..algorithms.extract import extract_bed, extract_path_range, read_bed
+    from ..algorithms.extract import (
+        extract_nodes,
+        nodes_in_path_range,
+        read_bed,
+    )
+    from ..algorithms.position import path_index
+    from ..core.graph import handle_rank
 
     g = load_any(args.input)
+    mask = np.zeros(g.num_nodes, dtype=bool)
+    selected = False
+    if args.node is not None:
+        r = g.id_to_rank.get(args.node)
+        if r is None:
+            print(f"[odgi::extract] error: no node {args.node}", file=sys.stderr)
+            return 1
+        mask[r] = True
+        selected = True
+    if args.node_list:
+        with open(args.node_list) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    r = g.id_to_rank.get(int(line))
+                    if r is not None:
+                        mask[r] = True
+        selected = True
     if args.bed:
-        sub = extract_bed(
-            g,
-            read_bed(args.bed),
-            context_steps=args.context_steps,
-            context_bp=0,
-        )
-    elif args.path_range:
+        for name, start, end in read_bed(args.bed):
+            p = path_index(g, name)
+            mask[nodes_in_path_range(g, p, start, end)] = True
+        selected = True
+    if args.path_range:
         name, rng = args.path_range.rsplit(":", 1)
         start, end = rng.split("-")
-        sub = extract_path_range(
-            g,
-            name,
-            int(start),
-            int(end),
-            full_range=args.full_range,
-            context_steps=args.context_steps,
+        p = path_index(g, name)
+        mask[nodes_in_path_range(g, p, int(start), int(end))] = True
+        selected = True
+    if args.pangenomic_range:
+        start, end = (int(v) for v in args.pangenomic_range.split("-"))
+        starts = g.node_offset
+        ends = starts + g.node_len
+        mask[(starts < end) & (ends > start)] = True
+        selected = True
+    if not selected:
+        print(
+            "[odgi::extract] error: specify a selection "
+            "(-n/-nodes/-r/-b/-q)",
+            file=sys.stderr,
         )
-    else:
-        print("error: need -r path:start-end or -b BED", file=sys.stderr)
         return 1
+    if args.inverse:
+        mask = ~mask
+    ranks = np.nonzero(mask)[0]
+    if len(ranks) == 0:
+        print("[odgi::extract] error: selection is empty", file=sys.stderr)
+        return 1
+    if args.full_range:
+        ranks = np.arange(int(ranks.min()), int(ranks.max()) + 1)
+    sub = extract_nodes(
+        g, ranks, args.context_steps, args.context_bases
+    )
+    if args.drop_pathless:
+        used = np.zeros(sub.num_nodes, dtype=bool)
+        used[handle_rank(sub.step_handle)] = True
+        if used.any() and not used.all():
+            sub = extract_nodes(sub, np.nonzero(used)[0], 0, 0)
+    if args.optimize:
+        sub = sub.optimize()
     _out_graph(sub, args.out)
     return 0
 
@@ -1453,8 +1504,17 @@ def register(sub):
     p.add_argument("-o", "--out", required=True)
     p.add_argument("-r", "--path-range", default=None)
     p.add_argument("-b", "--bed", default=None)
+    p.add_argument("-n", "--node", type=int, default=None)
+    p.add_argument("--node-list", default=None)
+    p.add_argument("-q", "--pangenomic-range", default=None)
+    p.add_argument("-I", "--inverse", action="store_true")
     p.add_argument("-E", "--full-range", action="store_true")
     p.add_argument("-c", "--context-steps", type=int, default=0)
+    p.add_argument("-L", "--context-bases", type=int, default=0)
+    p.add_argument("-d", "--drop-pathless", action="store_true")
+    p.add_argument("-O", "--optimize", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("overlap", help="paths overlapping BED ranges")

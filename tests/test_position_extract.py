@@ -113,3 +113,45 @@ def test_extract_bed(t_gfa):
     sub = extract_bed(t_gfa, [("x", 0, 9), ("x", 40, 50)])
     assert sub.num_nodes >= 3
     assert sub.validate() == []
+
+
+def test_extract_node_and_inverse(tmp_path):
+    import io, contextlib
+    from odgi_tpu.cli.main import main as cli_main
+    from odgi_tpu.io.og_compat import load_og
+
+    out = tmp_path / "sub.og"
+    rc = cli_main(
+        ["extract", "-i", "/root/reference/test/t.gfa", "-o", str(out),
+         "-n", "5", "-c", "1"]
+    )
+    assert rc == 0
+    sub = load_og(str(out))
+    assert 1 <= sub.num_nodes <= 5
+    rc = cli_main(
+        ["extract", "-i", "/root/reference/test/t.gfa", "-o", str(out),
+         "-n", "5", "-I"]
+    )
+    assert rc == 0
+    inv = load_og(str(out))
+    assert inv.num_nodes == 14  # all but node 5
+
+
+def test_extract_pangenomic_range_and_drop_pathless(tmp_path):
+    from odgi_tpu.cli.main import main as cli_main
+    from odgi_tpu.io.og_compat import load_og
+
+    out = tmp_path / "sub.og"
+    rc = cli_main(
+        ["extract", "-i", "/root/reference/test/t.gfa", "-o", str(out),
+         "-q", "0-20", "-d", "-O"]
+    )
+    assert rc == 0
+    sub = load_og(str(out))
+    assert sub.num_nodes > 0
+    from odgi_tpu.core.graph import handle_rank
+    import numpy as np
+
+    used = np.zeros(sub.num_nodes, bool)
+    used[handle_rank(sub.step_handle)] = True
+    assert used.all()  # -d removed pathless nodes
