@@ -157,3 +157,50 @@ def pav_table(
             continue
         out[i] = (cov[:, r] * overlap[None, :]).sum(axis=1) / denom
     return cols, out
+
+
+def for_each_graph_kmer(g: GraphTensors, k: int, max_furcations: int = 0):
+    """Yield (seq, node_id, is_rev, offset) for every graph kmer: from
+    every position of every handle in both orientations, extending across
+    edges, stopping branches beyond `max_furcations` forks
+    (reference: src/algorithms/kmer.cpp:8-103 for_each_kmer; line format
+    of kmers_main -c is seq TAB id:[-]offset TAB)."""
+    adj = g.adjacency
+    for r in range(g.num_nodes):
+        for rev in (False, True):
+            h = (r << 1) | int(rev)
+            seq = g.node_seq(r, rev)
+            L = len(seq)
+            for i in range(L):
+                # (acc_seq, current_handle, forks); extend until k bases
+                frontier = [(seq[i : min(L, i + k)], h, 0)]
+                while frontier:
+                    acc, cur, forks = frontier.pop()
+                    if len(acc) >= k:
+                        yield (
+                            acc[:k],
+                            int(g.node_id[r]),
+                            rev,
+                            i,
+                        )
+                        continue
+                    nexts = adj.neighbors(cur)
+                    if len(nexts) > 1:
+                        if max_furcations and forks >= max_furcations:
+                            continue
+                        forks_next = forks + 1
+                    else:
+                        forks_next = forks
+                    for t in nexts:
+                        tr, trev = int(t) >> 1, bool(int(t) & 1)
+                        ts = g.node_seq(tr, trev)
+                        frontier.append(
+                            (acc + ts[: k - len(acc)], int(t), forks_next)
+                        )
+
+
+def write_graph_kmers(
+    g: GraphTensors, k: int, out: TextIO, max_furcations: int = 0
+) -> None:
+    for seq, nid, rev, off in for_each_graph_kmer(g, k, max_furcations):
+        out.write(f"{seq.decode()}\t{nid}:{'-' if rev else ''}{off}\t\n")

@@ -568,11 +568,30 @@ def cmd_flatten(args):
 
 
 def cmd_kmers(args):
+    """`odgi kmers` (reference: src/subcommand/kmers_main.cpp): graph-kmer
+    enumeration across edges with furcation cap (-e), optional
+    high-degree-node removal (-D), kmers to stdout with -c, otherwise a
+    characterization summary."""
     from .main import load_any
-    from ..algorithms.analytics import write_kmers
+    from ..algorithms.analytics import for_each_graph_kmer, write_graph_kmers
 
     g = load_any(args.input)
-    write_kmers(g, args.kmer_length, sys.stdout)
+    if args.max_degree:
+        from ..algorithms.transforms import prune_high_degree
+
+        g = prune_high_degree(g, args.max_degree)
+    if args.stdout:
+        write_graph_kmers(g, args.kmer_length, sys.stdout, args.max_furcations)
+    else:
+        total = 0
+        distinct = set()
+        for seq, _, _, _ in for_each_graph_kmer(
+            g, args.kmer_length, args.max_furcations
+        ):
+            total += 1
+            distinct.add(seq)
+        print("#k\ttotal.kmers\tdistinct.kmers")
+        print(f"{args.kmer_length}\t{total}\t{len(distinct)}")
     return 0
 
 
@@ -1417,9 +1436,14 @@ def register(sub):
     p.add_argument("-n", "--name", default="flattened")
     p.set_defaults(fn=cmd_flatten)
 
-    p = sub.add_parser("kmers", help="enumerate path kmers")
+    p = sub.add_parser("kmers", help="graph kmer enumeration")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-k", "--kmer-length", type=int, required=True)
+    p.add_argument("-e", "--max-furcations", type=int, default=0)
+    p.add_argument("-D", "--max-degree", type=int, default=0)
+    p.add_argument("-c", "--stdout", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_kmers)
 
     p = sub.add_parser("matrix", help="sparse adjacency output")

@@ -125,3 +125,15 @@ def test_pav(two_path_graph):
     # y misses node 2 (bp 2..4 of path x)
     assert tab[0, 1] == pytest.approx(4 / 6)
     assert tab[1, 1] == pytest.approx(0.0)
+
+
+def test_graph_kmers_cross_edges(t_gfa):
+    from odgi_tpu.algorithms.analytics import for_each_graph_kmer
+
+    ks = list(for_each_graph_kmer(t_gfa, 5))
+    assert ks and all(len(seq) == 5 for seq, _, _, _ in ks)
+    # kmers must cross node boundaries: t.gfa has 1bp nodes
+    assert len(ks) > t_gfa.num_nodes
+    # furcation cap reduces the count
+    capped = list(for_each_graph_kmer(t_gfa, 5, max_furcations=1))
+    assert len(capped) <= len(ks)
