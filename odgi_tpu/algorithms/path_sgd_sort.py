@@ -81,6 +81,20 @@ def sort_pipeline(
     for c in pipeline:
         if c == "Y":
             snapshot_cb = None
+            if progress and not snapshot_prefix:
+                from ..ops.sgd import derive_config_1d
+                from ..utils.progress import ProgressMeter
+
+                cfg_p = derive_config_1d(g, **(sgd_overrides or {}))
+                meter = ProgressMeter(
+                    cfg_p.iter_max, "[odgi_tpu::sort] 1D PG-SGD iterations"
+                )
+
+                def snapshot_cb(it, X, _m=meter):
+                    _m.increment()
+                    if it + 1 >= _m.total:
+                        _m.finish()
+
             if snapshot_prefix:
                 # write each iteration's graph sorted by that iteration's X
                 # (reference: path_sgd.cpp:589-637 snapshot replay)

@@ -462,6 +462,7 @@ def cmd_sort(args):
         g = sort_pipeline(
             g,
             pipeline,
+            progress=bool(getattr(args, "progress", False)),
             sgd_overrides=sgd_overrides or None,
             target_paths=target_paths,
             snapshot_prefix=getattr(args, "sgd_snapshot", None),
@@ -546,6 +547,19 @@ def cmd_layout(args):
         def snapshot_cb(it, coords):
             # one .lay per iteration (reference: path_sgd_layout.cpp:379-408)
             save_layout(coords, f"{prefix}{it + 1}")
+
+    if args.progress and snapshot_cb is None:
+        from ..utils.progress import ProgressMeter
+
+        meter = ProgressMeter(
+            overrides.get("iter_max", 30),
+            "[odgi_tpu::layout] 2D PG-SGD iterations",
+        )
+
+        def snapshot_cb(it, coords, _m=meter):
+            _m.increment()
+            if it + 1 >= _m.total:
+                _m.finish()
 
     cfg = derive_config_2d(g, **overrides)
     coords = layout_graph(
