@@ -574,8 +574,13 @@ def cmd_layout(args):
 
 
 def cmd_paths(args):
+    """`odgi paths` with the reference's investigation surface
+    (reference: src/subcommand/paths_main.cpp:42-795)."""
     g = load_any(args.input)
-    if args.list:
+    if args.list and args.list_path_start_end:
+        for p in range(g.num_paths):
+            print(f"{g.path_names[p]}\t1\t{int(g.path_length[p])}")
+    elif args.list:
         for name in g.path_names:
             print(name)
     if args.lengths:
@@ -587,7 +592,7 @@ def cmd_paths(args):
     if args.fasta:
         from ..algorithms.paths_cmd import write_fasta
 
-        write_fasta(g, sys.stdout)
+        write_fasta(g, sys.stdout, line_width=args.fasta_line_width)
     if args.haplotypes:
         from ..algorithms.paths_cmd import write_haplotype_matrix
 
@@ -597,6 +602,90 @@ def cmd_paths(args):
             scale_by_length=args.scale_by_node_length,
             group_delim=args.delim,
         )
+
+    def load_names(fname):
+        out = []
+        with open(fname) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    if line not in g.path_names:
+                        print(
+                            f"[odgi::paths] error: path'{line}' does not "
+                            "exist in graph.",
+                            file=sys.stderr,
+                        )
+                        sys.exit(1)
+                    out.append(g.path_names.index(line))
+        return out
+
+    from ..algorithms import paths_cmd as pc
+
+    if args.non_reference_nodes:
+        refs = load_names(args.non_reference_nodes)
+        print("#node.id\tnode.len\tnum.uncalled.bases\tpaths")
+        for row in pc.non_reference_nodes_rows(g, refs, args.min_size):
+            print("\t".join(str(v) for v in row))
+    elif args.non_reference_ranges:
+        refs = load_names(args.non_reference_ranges)
+        hdr = "#path.name\tstart\tend"
+        if args.show_step_ranges:
+            hdr += "\tsteps"
+        print(hdr)
+        for row in pc.non_reference_ranges_rows(
+            g, refs, args.min_size, args.show_step_ranges
+        ):
+            print("\t".join(str(v) for v in row))
+
+    if args.coverage_levels or args.fraction_levels:
+        fraction = bool(args.fraction_levels)
+        levels = [
+            float(v)
+            for v in (args.coverage_levels or args.fraction_levels).split(",")
+        ]
+        hdr, rows = pc.sequence_class_tables(
+            g,
+            levels,
+            fraction,
+            delim=args.delim,
+            delim_pos=max(args.delim_pos - 1, 0),
+            min_size=args.min_size,
+            path_ranges=args.path_range_class,
+            show_steps=args.show_step_ranges,
+        )
+        print(hdr)
+        for row in rows:
+            print("\t".join(str(v) for v in row))
+
+    if args.overlaps:
+        groups = {}
+        with open(args.overlaps) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                vals = line.split("\t")
+                groups.setdefault(vals[0], []).append(
+                    vals[1] if len(vals) > 1 else vals[0]
+                )
+        print("group.name\tquery\ttarget\toverlap\toverlap.frac")
+        for row in pc.overlaps_table(g, sorted(groups.items())):
+            print(
+                f"{row[0]}\t{row[1]}\t{row[2]}\t{row[3]}\t{row[4]:.6g}"
+            )
+
+    if args.keep_paths or args.drop_paths:
+        keep = (
+            load_names(args.keep_paths)
+            if args.keep_paths
+            else list(range(g.num_paths))
+        )
+        if args.drop_paths:
+            drop = set(load_names(args.drop_paths))
+            keep = [p for p in keep if p not in drop]
+        g2 = g.keep_paths(keep)
+        if args.out:
+            _out_graph(g2, args.out)
     return 0
 
 
@@ -730,12 +819,29 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("paths", help="path information")
     p.add_argument("-i", "--input", required=True)
-    p.add_argument("-L", "--list", action="store_true")
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-L", "--list", "--list-paths", action="store_true")
+    p.add_argument("-e", "--list-path-start-end", action="store_true")
     p.add_argument("-l", "--lengths", action="store_true")
     p.add_argument("-f", "--fasta", action="store_true")
+    p.add_argument("-w", "--fasta-line-width", type=int, default=0)
     p.add_argument("-H", "--haplotypes", action="store_true")
     p.add_argument("-D", "--delim", default=None)
-    p.add_argument("-s", "--scale-by-node-length", action="store_true")
+    p.add_argument("-p", "--delim-pos", type=int, default=1)
+    p.add_argument("-N", "--scale-by-node-length", "-s",
+                   dest="scale_by_node_length", action="store_true")
+    p.add_argument("--non-reference-nodes", default=None)
+    p.add_argument("--non-reference-ranges", default=None)
+    p.add_argument("--coverage-levels", default=None)
+    p.add_argument("--fraction-levels", default=None)
+    p.add_argument("--path-range-class", action="store_true")
+    p.add_argument("--min-size", type=int, default=0)
+    p.add_argument("--show-step-ranges", action="store_true")
+    p.add_argument("-O", "--overlaps", default=None)
+    p.add_argument("-K", "--keep-paths", default=None)
+    p.add_argument("-X", "--drop-paths", default=None)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_paths)
 
     from .commands2 import register as register2
