@@ -671,3 +671,259 @@ def pallas_supported(g, cfg) -> bool:
     pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, RC * LANE)
     ch = _pad_to(max(-(-2 * g.num_nodes // LANE), 1), 8)
     return 4 * pad * 4 < 7 * 1024 * 1024 and ch <= 512
+
+
+# ---------------------------------------------------------------------------
+# 1D variant: the `odgi sort -Y` hot loop (reference: path_sgd.cpp:12-464)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_acc_1d(k, seed, gchunk, it, planes_ref, x_ref):
+    """1D strata chunk: like _chunk_acc but with per-NODE scalar positions
+    (X only); returns the (chn, 2*LANE) [dx_sum | count] accumulator.
+    Update math mirrors ops.sgd._update_1d (reference: path_sgd.cpp:304-396;
+    1D cooling starts strictly after first_cooling, path_sgd.cpp:194)."""
+    chn = k["ch"]
+    space = k["space"]
+    two24 = float(2.0**-24)
+
+    pltpu.prng_seed(seed + gchunk * 7919)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((1, RC, LANE)), jnp.int32)
+    del bits  # 1D draws no per-pair coins; keep the PRNG stream advancing
+
+    def mix(h):
+        h = (h ^ jax.lax.shift_right_logical(h, 16)) * (-2048144789)
+        h = (h ^ jax.lax.shift_right_logical(h, 13)) * (-1028477387)
+        return h ^ jax.lax.shift_right_logical(h, 16)
+
+    def u24(word):
+        return ((word >> 8) & 0xFFFFFF).astype(jnp.float32) * two24
+
+    h0 = mix(gchunk * (-1640531527) + seed)
+    h1 = mix(h0 + 1779033703)
+    h2 = mix(h1 + (-1150833019))
+    h3 = mix(h2 + 1013904242)
+    u_o = u24(h0)
+    u_z = u24(h1)
+    u_u = u24(h2)
+    o_blk = jnp.floor(u_o * jnp.float32(k["n_blocks"])).astype(jnp.int32)
+    o_blk = jnp.minimum(o_blk, k["n_blocks"] - 1)
+    x = jnp.maximum(k["eta_z"] * u_z - k["eta_z"] + 1.0, 1e-30)
+    powx = jnp.exp(jnp.float32(k["alpha"]) * jnp.log(x))
+    uz = u_z * k["zeta_n"]
+    val = jnp.where(
+        uz < 1.0,
+        1.0,
+        jnp.where(uz < 1.0 + k["half_pow_theta"], 2.0, 1.0 + space * powx),
+    )
+    d_zipf = jnp.clip(jnp.floor(val).astype(jnp.int32), 1, space)
+    d_unif = 1 + jnp.floor(
+        u_u * jnp.float32(max(space - 1, 1))
+    ).astype(jnp.int32)
+    use_zipf = jnp.logical_or(it > k["first_cooling"], (h3 & 1) > 0)
+    D = jnp.where(use_zipf, d_zipf, d_unif)
+
+    t = it.astype(jnp.float32)
+    eta_lr = k["eta_lr_max"] * jnp.exp(
+        jnp.float32(-k["lam"]) * jnp.abs(t - jnp.float32(k["t_peak"]))
+    )
+    eta_lr = jnp.where(jnp.isfinite(eta_lr), eta_lr, k["eta_lr_min"])
+
+    r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+    c_sh = jnp.bitwise_and(D, LANE - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RC, LANE), 1)
+    keep = lane < (LANE - c_sh)
+
+    def slice_a(p):
+        return planes_ref[p, pl.ds(o_blk, RC), :]
+
+    def slice_b(p):
+        rows = planes_ref[p, pl.ds(r0, 2 * RC), :]
+        r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=1)
+        return jnp.where(keep, r1[0:RC], r1[1 : RC + 1])
+
+    pos_a = slice_a(_POS).astype(jnp.float32)
+    handle_a = slice_a(_HANDLE)
+    path_a = slice_a(_PATH)
+    pos_b = slice_b(_POS).astype(jnp.float32)
+    handle_b = slice_b(_HANDLE)
+    path_b = slice_b(_PATH)
+    term = jnp.abs(pos_a - pos_b)
+    valid = jnp.logical_and(
+        jnp.logical_and(path_a == path_b, path_a >= 0), term != 0.0
+    )
+    node_a = handle_a >> 1
+    node_b = handle_b >> 1
+    vf = valid.astype(jnp.float32)
+
+    def onehot3(idx, kk):
+        io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
+        return (idx[:, :, None] == io).astype(jnp.float32)
+
+    nd_ab = jnp.concatenate([node_a, node_b], axis=0)
+    e_hi = onehot3(nd_ab >> 7, chn).reshape(2 * CHUNK, chn)
+    e_lo3 = onehot3(nd_ab & (LANE - 1), LANE)
+    e_lo = e_lo3.reshape(2 * CHUNK, LANE)
+
+    gab = jnp.dot(e_hi, x_ref, preferred_element_type=jnp.float32)
+    x_ab = jnp.sum(gab * e_lo, axis=1, keepdims=True).reshape(2 * RC, LANE)
+    xa, xb = x_ab[:RC], x_ab[RC:]
+
+    w = 1.0 / jnp.maximum(term, 1e-30)
+    mu = jnp.minimum(eta_lr * w, 1.0)
+    dx = xa - xb
+    dx = jnp.where(dx == 0.0, 1e-9, dx)
+    mag = jnp.abs(dx)
+    delta = mu * (mag - term) / 2.0
+    r = jnp.where(valid, delta / mag * dx, 0.0)
+
+    rxx = jnp.concatenate([-r, r], axis=0)[:, :, None]
+    vv = jnp.concatenate([vf, vf], axis=0)[:, :, None]
+    spread = jnp.concatenate([e_lo3 * rxx, e_lo3 * vv], axis=2).reshape(
+        2 * CHUNK, 2 * LANE
+    )
+    return jax.lax.dot_general(
+        e_hi,
+        spread,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _make_batch_kernel_1d(cfg, data: PallasSgdData, nch: int):
+    k = _kernel_consts(cfg, data)
+    chn = k["ch"]
+
+    def kernel(sarr_ref, planes_ref, xin_ref, out_ref, acc_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            acc_ref[:] = jnp.zeros((chn, 2 * LANE), jnp.float32)
+
+        seed = sarr_ref[0]
+        batch_index = sarr_ref[1]
+        it = sarr_ref[2]
+        gchunk = batch_index * nch + c
+        acc = _chunk_acc_1d(k, seed, gchunk, it, planes_ref, xin_ref[:])
+        acc_ref[:] = acc_ref[:] + acc
+
+        @pl.when(c == nch - 1)
+        def _():
+            cnt = jnp.maximum(acc_ref[:, LANE:], 1.0)
+            out_ref[:] = xin_ref[:] + acc_ref[:, :LANE] / cnt
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "data_meta", "nch", "num_batches", "interpret"),
+)
+def _pallas_sgd_1d_batched(
+    x_plane, planes, seed, cfg, data_meta, nch: int,
+    num_batches: int, interpret: bool,
+):
+    data = PallasSgdData(planes, *data_meta)
+    chn = data.ch
+    pr = planes.shape[1]
+    kernel = _make_batch_kernel_1d(cfg, data, nch)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec(
+                (4, pr, LANE), lambda c, s: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chn, LANE), lambda c, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (chn, LANE), lambda c, s: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chn, 2 * LANE), jnp.float32),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((chn, LANE), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+    def body(g_batch, xp):
+        it = g_batch // num_batches
+        sarr = jnp.stack([seed[0], g_batch, it])
+        return call(sarr, planes, xp)
+
+    return jax.lax.fori_loop(0, cfg.iter_max * num_batches, body, x_plane)
+
+
+def build_data_1d(g, cfg) -> PallasSgdData:
+    """1D planes share the 2D layout but size the coordinate rows by NODES
+    (not endpoints) and keep the 1D zipf-space quirk (space in nt, jumps in
+    steps — reference: sort_main.cpp:387 vs path_sgd.cpp:249)."""
+    d = PallasSgdData.build(g, cfg.space)
+    chn = _pad_to(max(-(-g.num_nodes // LANE), 1), 8)
+    return PallasSgdData(
+        planes=d.planes,
+        num_steps=d.num_steps,
+        n_blocks=d.n_blocks,
+        ch=chn,
+        num_nodes=d.num_nodes,
+        space=d.space,
+    )
+
+
+def path_sgd_1d_pallas(g, cfg=None, x0=None) -> np.ndarray:
+    """Fused-kernel 1D PG-SGD; drop-in for the hot part of
+    ops.sgd.path_sgd_1d (dispatched when pallas_supported_1d holds)."""
+    from .sgd import derive_config_1d
+
+    if cfg is None:
+        cfg = derive_config_1d(g)
+    if not (g.path_step_count > 1).any():
+        return g.node_offset.astype(np.float64)
+    data = build_data_1d(g, cfg)
+    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
+    nb = _num_batches(cfg, nch)
+    x = np.zeros(data.ch * LANE, np.float32)
+    x0v = (
+        g.node_offset.astype(np.float32)
+        if x0 is None
+        else np.asarray(x0, np.float32)
+    )
+    x[: g.num_nodes] = x0v
+    meta = (data.num_steps, data.n_blocks, data.ch, data.num_nodes, data.space)
+    out = _pallas_sgd_1d_batched(
+        jnp.asarray(x.reshape(data.ch, LANE)),
+        data.planes,
+        jnp.asarray([cfg.seed], jnp.int32),
+        cfg,
+        meta,
+        nch,
+        nb,
+        False,
+    )
+    return np.asarray(out).reshape(-1)[: g.num_nodes].astype(np.float64)
+
+
+def pallas_supported_1d(g, cfg) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if cfg.delta > 0:
+        return False
+    S = g.num_steps
+    if S < CHUNK:
+        return False
+    max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
+    if max_pos >= 2**24 or g.num_nodes >= 2**24:
+        return False
+    pad = _pad_to(S + CHUNK + int(cfg.space) + 2 * RC * LANE, RC * LANE)
+    chn = _pad_to(max(-(-g.num_nodes // LANE), 1), 8)
+    return 4 * pad * 4 < 7 * 1024 * 1024 and chn <= 512
