@@ -1,6 +1,6 @@
-"""Fused Pallas TPU kernel for the PG-SGD 2D layout hot loop.
+"""Fused Pallas TPU kernel for the PG-SGD layout/sort hot loop.
 
-The entire layout optimization (all iterations, all batches) runs as ONE
+The entire optimization (all iterations, all batches) runs as ONE
 `pallas_call`: coordinates live in the revisited VMEM output block for the
 whole run, update accumulators live in VMEM scratch, and the step table is
 VMEM-resident — zero HBM round-trips between the first and last pair
@@ -21,30 +21,44 @@ The design is shaped by what a TPU can and cannot do fast:
   are masked invalid; the surviving conditional distribution of D given a
   step's position equals the reference's end-clamped Zipf (truncation and
   renormalization commute).  Stratifying the Zipf draw per chunk was
-  validated to CONVERGE BETTER than the fixture: DRB1 default stress ~1.24
+  validated to CONVERGE BETTER than the fixture: DRB1 default stress ~1.25
   vs fixture 1.2855 (guarded by tests and bench.py's assertion).
 - **Pre-cooling uniform terms** (reference: path_sgd.cpp:274-279) use a
   uniform jump D ~ U[1, space) with the same masking; after cooling all
   chunks are Zipf, as in the CUDA port (layout.cu:239).
-- **Coordinate gather/scatter ride the MXU** as factored one-hot matmuls
-  (one (1024, ch) @ (ch, 256) gather and its transpose per endpoint side);
-  with the strata trick removing the step-table gather, these are the only
-  "random access" left and they are batched systolic work.
+- **Per-chunk scalars ride scalar prefetch (SMEM), not the scalar core**:
+  the window offset o, jump D and learning rate eta of every chunk are
+  precomputed on the HOST (numpy Philox keyed by cfg.seed) and passed as
+  SMEM arrays via PrefetchScalarGridSpec.  An earlier revision derived
+  them in-kernel from a splitmix hash + the closed-form Zipf inverse;
+  profiling showed that scalar chain (hash, exp, log per chunk) cost
+  ~4 us/chunk — a third of the whole kernel.  Only the per-PAIR endpoint
+  coins stay on the hardware PRNG, seeded ONCE for the whole run.
+- **Coordinate gather/scatter ride the MXU** as factored one-hot matmuls;
+  with the strata trick removing the step-table gather, these are the
+  only "random access" left and they are batched systolic work.  All
+  matmuls run as SINGLE bf16 passes: the one-hot operand is exact in
+  bf16, the coordinate operand is split hi+lo bf16 (2 passes reconstruct
+  full f32 — see _split_bf16), and the scatter operand is a stochastic
+  delta where 8-bit mantissa truncation is zero-mean noise (measured
+  stress-neutral on DRB1).  Mosaic's only exact alternative, HIGHEST,
+  costs 6 passes.
 - Hogwild merging (reference: "try until we succeed. risky.",
   path_sgd.cpp:367-375) becomes a per-endpoint mean-merge applied at batch
   boundaries (nch chunks per batch), the same batched-update contract as
   ops/sgd.py.
 
-RNG is the TPU core PRNG seeded per (seed, global_chunk): deterministic
-for fixed config — our documented contract for this path (the reference's
-Hogwild threads are nondeterministic anyway; only converged stress is
-comparable — reference: path_sgd.cpp:208-209).
+RNG contract for this path: chunk scalars from numpy Philox(cfg.seed),
+per-pair coins from the TPU core PRNG seeded with cfg.seed — deterministic
+for fixed config (the reference's Hogwild threads are nondeterministic
+anyway; only converged stress is comparable — reference:
+path_sgd.cpp:208-209).
 
 Update math is identical to ops/sgd.py (reference: src/cuda/layout.cu:
 141-188): mu = min(eta/d, 1); Delta = mu*(mag - d)/2; head/tail endpoint
 choice with orientation fix-up (layout.cu:251-281); the learning-rate
-schedule is computed in-kernel from the exact closed form of
-path_linear_sgd_schedule (reference: path_sgd.cpp:466-501).
+schedule is the exact closed form of path_linear_sgd_schedule (reference:
+path_sgd.cpp:466-501), evaluated on the host into the per-chunk eta array.
 """
 
 from __future__ import annotations
@@ -65,9 +79,28 @@ from jax.experimental.pallas import tpu as pltpu
 from .zipf import zeta_eta_table
 
 LANE = 128
-RC = 8                 # sublane rows per chunk
-CHUNK = RC * LANE      # 1024 pairs per chunk (one shared jump distance)
+RC = int(os.environ.get("ODGI_TPU_PALLAS_RC", "8"))  # sublane rows per chunk
+CHUNK = RC * LANE      # pairs per chunk (one shared jump distance)
 _POS, _POSEND, _HANDLE, _PATH = range(4)
+
+# Max per-run chunk count for the SMEM prefetch scalar arrays (3 x i32/f32
+# per chunk); beyond this the dispatch falls back to the XLA path.
+MAX_CHUNKS = 32768
+
+_ABLATE = os.environ.get("ODGI_TPU_PALLAS_ABLATE", "")
+_DATA_CACHE: dict = {}
+
+
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 planes with hi + lo == x to f32 roundoff.
+
+    dot(onehot_bf16, hi) + dot(onehot_bf16, lo) with f32 accumulation is
+    an EXACT f32 gather in 2 single-pass bf16 matmuls (the usual 3-pass
+    f32 decomposition loses its third term because the one-hot side has
+    no low part)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -100,6 +133,21 @@ class PallasSgdData:
     ch: int         # coordinate sublane rows (= ceil(2N/128) padded to 8)
     num_nodes: int
     space: int
+
+    @staticmethod
+    def build_cached(g, space: int) -> "PallasSgdData":
+        """Per-(graph, space) cache: GraphTensors are immutable, and the
+        plane build + device transfer (~35 ms on DRB1) would otherwise be
+        paid on every dispatch."""
+        key = (id(g), space, RC)
+        hit = _DATA_CACHE.get(key)
+        if hit is not None and hit[0] is g:
+            return hit[1]
+        d = PallasSgdData.build(g, space)
+        _DATA_CACHE[key] = (g, d)
+        while len(_DATA_CACHE) > 4:
+            _DATA_CACHE.pop(next(iter(_DATA_CACHE)))
+        return d
 
     @staticmethod
     def build(g, space: int) -> "PallasSgdData":
@@ -159,93 +207,74 @@ def _zeta_consts(cfg, space: int):
     return float(ze[zi, 0]), float(ze[zi, 1])
 
 
-def _kernel_consts(cfg, data: "PallasSgdData"):
-    """Static constants shared by both kernel variants."""
-    space = int(data.space)
-    zeta_n, eta_z = _zeta_consts(cfg, space)
-    eta_lr_max = float(cfg.eta_max)
-    eta_lr_min = float(cfg.eps)
+def _eta_schedule(cfg) -> np.ndarray:
+    """Per-iteration learning rate, the closed form of
+    path_linear_sgd_schedule (reference: path_sgd.cpp:466-501)."""
+    eta_max = float(cfg.eta_max)
+    eps = float(cfg.eps)
     lam = (
-        math.log(eta_lr_max / eta_lr_min) / (cfg.iter_max - 1)
+        math.log(eta_max / eps) / (cfg.iter_max - 1)
         if cfg.iter_max > 1
         else 0.0
     )
-    return dict(
-        theta=cfg.theta,
-        alpha=1.0 / (1.0 - cfg.theta),
-        half_pow_theta=float(0.5**cfg.theta),
-        space=space,
-        zeta_n=zeta_n,
-        eta_z=eta_z,
-        eta_lr_max=eta_lr_max,
-        eta_lr_min=eta_lr_min,
-        lam=lam,
-        t_peak=int(cfg.iter_with_max_learning_rate),
-        first_cooling=cfg.first_cooling_iteration,
-        ch=data.ch,
-        n_blocks=data.n_blocks,
+    t = np.arange(cfg.iter_max, dtype=np.float64)
+    etas = eta_max * np.exp(-lam * np.abs(t - cfg.iter_with_max_learning_rate))
+    return np.where(np.isfinite(etas), etas, eps).astype(np.float32)
+
+
+_SCALAR_CACHE: dict = {}
+
+
+def _host_chunk_scalars(cfg, data: "PallasSgdData", nch: int,
+                        num_batches: int, one_d: bool = False):
+    """Precompute per-chunk (window block o, jump D, learning rate eta).
+
+    Sampling semantics match the reference exactly: D is the dirtyzipf
+    closed-form inverse over the quantized zeta table (reference:
+    src/cuda/layout.cu:89-113, path_sgd.cpp:124-138) with probability 1/2
+    before cooling, else uniform in [1, space); after cooling always Zipf
+    (2D cools at iter >= first_cooling — layout_main.cpp via cooling_start;
+    1D strictly after — path_sgd.cpp:194)."""
+    key = (cfg, data.n_blocks, int(data.space), nch, num_batches, one_d)
+    hit = _SCALAR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    total = cfg.iter_max * num_batches * nch
+    space = int(data.space)
+    zeta_n, eta_z = _zeta_consts(cfg, space)
+    alpha = 1.0 / (1.0 - cfg.theta)
+    hp = 0.5 ** cfg.theta
+
+    rng = np.random.Generator(np.random.Philox(int(cfg.seed) & 0x7FFFFFFF))
+    u = rng.random((3, total))
+    coin = rng.integers(0, 2, total)
+
+    o_blk = np.minimum(
+        (u[0] * data.n_blocks).astype(np.int32), data.n_blocks - 1
     )
+    x = np.maximum(eta_z * u[1] - eta_z + 1.0, 1e-30)
+    powx = np.exp(alpha * np.log(x))
+    uz = u[1] * zeta_n
+    val = np.where(uz < 1.0, 1.0, np.where(uz < 1.0 + hp, 2.0, 1.0 + space * powx))
+    d_zipf = np.clip(np.floor(val), 1, space).astype(np.int32)
+    d_unif = (1 + np.floor(u[2] * max(space - 1, 1))).astype(np.int32)
+
+    it = np.arange(total) // (num_batches * nch)
+    fc = cfg.first_cooling_iteration
+    cooling = (it > fc) if one_d else (it >= fc)
+    d_arr = np.where(cooling | (coin > 0), d_zipf, d_unif).astype(np.int32)
+    eta_arr = _eta_schedule(cfg)[it].astype(np.float32)
+    out = (jnp.asarray(o_blk), jnp.asarray(d_arr), jnp.asarray(eta_arr))
+    _SCALAR_CACHE[key] = out
+    while len(_SCALAR_CACHE) > 8:
+        _SCALAR_CACHE.pop(next(iter(_SCALAR_CACHE)))
+    return out
 
 
-_ABLATE = os.environ.get("ODGI_TPU_PALLAS_ABLATE", "")
-
-
-def _chunk_acc(k, seed, gchunk, it, planes_ref, co):
-    """One chunk of CHUNK pair updates: returns the (ch, 3*LANE) dense
-    [dx_sum | dy_sum | count] accumulator.  `k` holds _kernel_consts."""
-    ch = k["ch"]
-    space = k["space"]
-    two24 = float(2.0**-24)
-
-    pltpu.prng_seed(seed + gchunk * 7919)
-    bits = pltpu.bitcast(pltpu.prng_random_bits((2, RC, LANE)), jnp.int32)
-    w0, w1 = bits[0], bits[1]
-
-    def u24(word):
-        return ((word >> 8) & 0xFFFFFF).astype(jnp.float32) * two24
-
-    # --- per-chunk scalars: window offset + shared jump distance ---
-    # Pure scalar-core splitmix32 hash of (seed, gchunk): avoids a
-    # vector->scalar readback stall (a VMEM round-trip per chunk); the
-    # per-PAIR coins stay on the hardware PRNG above.
-    def mix(h):
-        h = (h ^ jax.lax.shift_right_logical(h, 16)) * (-2048144789)
-        h = (h ^ jax.lax.shift_right_logical(h, 13)) * (-1028477387)
-        return h ^ jax.lax.shift_right_logical(h, 16)
-
-    h0 = mix(gchunk * (-1640531527) + seed)
-    h1 = mix(h0 + 1779033703)
-    h2 = mix(h1 + (-1150833019))
-    h3 = mix(h2 + 1013904242)
-    u_o = u24(h0)
-    u_z = u24(h1)
-    u_u = u24(h2)
-    o_blk = jnp.floor(u_o * jnp.float32(k["n_blocks"])).astype(jnp.int32)
-    o_blk = jnp.minimum(o_blk, k["n_blocks"] - 1)
-    # dirtyzipf closed-form inverse (reference: src/cuda/layout.cu:89-113)
-    x = jnp.maximum(k["eta_z"] * u_z - k["eta_z"] + 1.0, 1e-30)
-    powx = jnp.exp(jnp.float32(k["alpha"]) * jnp.log(x))
-    uz = u_z * k["zeta_n"]
-    val = jnp.where(
-        uz < 1.0,
-        1.0,
-        jnp.where(uz < 1.0 + k["half_pow_theta"], 2.0, 1.0 + space * powx),
-    )
-    d_zipf = jnp.clip(jnp.floor(val).astype(jnp.int32), 1, space)
-    d_unif = 1 + jnp.floor(
-        u_u * jnp.float32(max(space - 1, 1))
-    ).astype(jnp.int32)
-    use_zipf = jnp.logical_or(it >= k["first_cooling"], (h3 & 1) > 0)
-    D = jnp.where(use_zipf, d_zipf, d_unif)
-
-    # learning rate of this iteration (path_sgd.cpp:466-501)
-    t = it.astype(jnp.float32)
-    eta_lr = k["eta_lr_max"] * jnp.exp(
-        jnp.float32(-k["lam"]) * jnp.abs(t - jnp.float32(k["t_peak"]))
-    )
-    eta_lr = jnp.where(jnp.isfinite(eta_lr), eta_lr, k["eta_lr_min"])
-
-    # --- window slices: A side row-aligned, B side rolled by D%128 ---
+def _window_slices(planes_ref, o_blk, D):
+    """A/B window slices for all four planes.  A is row-aligned at o_blk;
+    B is the same window shifted by D steps, realized as a dynamic
+    sublane slice plus a lane-rotate by D mod 128."""
     r0 = o_blk + jax.lax.shift_right_logical(D, 7)
     c_sh = jnp.bitwise_and(D, LANE - 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (RC, LANE), 1)
@@ -255,11 +284,42 @@ def _chunk_acc(k, seed, gchunk, it, planes_ref, co):
         return planes_ref[p, pl.ds(o_blk, RC), :]
 
     def slice_b(p):
-        if "nosliceb" in _ABLATE:
-            return planes_ref[p, pl.ds(o_blk + 1, RC), :]
         rows = planes_ref[p, pl.ds(r0, 2 * RC), :]
         r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=1)
         return jnp.where(keep, r1[0:RC], r1[1 : RC + 1])
+
+    return slice_a, slice_b
+
+
+def _onehot3(idx, kk, dt):
+    """(2*RC, LANE) indices -> (2*RC, LANE, kk) one-hot, built in 3D so the
+    collapse to (2*CHUNK, kk) is a Mosaic-supported relayout (a direct
+    (2*RC, LANE) -> (2*CHUNK, 1) reshape is not lowerable)."""
+    io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
+    return (idx[:, :, None] == io).astype(dt)
+
+
+def _pair_coins(gchunk):
+    """Two decorrelated coin planes (RC, LANE) i32 from a vectorized
+    splitmix-style hash of (gchunk, pair index).  Replaces
+    pltpu.prng_random_bits, whose per-draw cost profiled at ~2 us/chunk;
+    the hash is ~8 VPU passes.  Only bit 0 of each word is consumed."""
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (2, RC, LANE), 1
+    ) * LANE + jax.lax.broadcasted_iota(jnp.int32, (2, RC, LANE), 2)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (2, RC, LANE), 0)
+    h = iota * (-1640531527) + sel * 1779033703 + gchunk * (-1150833019)
+    h = (h ^ jax.lax.shift_right_logical(h, 16)) * (-2048144789)
+    h = (h ^ jax.lax.shift_right_logical(h, 13)) * (-1028477387)
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    return h
+
+
+def _chunk_acc(ch, o_blk, D, eta_lr, planes_ref, co, coins):
+    """One chunk of CHUNK pair updates: returns the (ch, 3*LANE) dense
+    [dx_sum | dy_sum | count] accumulator."""
+    w0, w1 = coins[0], coins[1]
+    slice_a, slice_b = _window_slices(planes_ref, o_blk, D)
 
     pos_a0 = slice_a(_POS)
     pos_a1 = slice_a(_POSEND)
@@ -281,17 +341,12 @@ def _chunk_acc(k, seed, gchunk, it, planes_ref, co):
     ep_b = 2 * (handle_b >> 1) + ((handle_b & 1) ^ cb)
     vf = valid.astype(jnp.float32)
 
-    # factored one-hots built in 3D and collapsed (Mosaic-supported
-    # relayout); both endpoint sides share one (2*CHUNK, ch) matmul so
-    # the MXU amortizes the (ch, 256) operand load across twice the rows
-    def onehot3(idx, kk):
-        io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
-        return (idx[:, :, None] == io).astype(jnp.float32)
-
     ep_ab = jnp.concatenate([ep_a, ep_b], axis=0)
-    e_hi = onehot3(ep_ab >> 7, ch).reshape(2 * CHUNK, ch)
-    e_lo3 = onehot3(ep_ab & (LANE - 1), LANE)
-    e_lo = e_lo3.reshape(2 * CHUNK, LANE)
+    e_hi3 = _onehot3(ep_ab >> 7, ch, jnp.float32)
+    e_hi = e_hi3.reshape(2 * CHUNK, ch)
+    e_lo = _onehot3(ep_ab & (LANE - 1), LANE, jnp.float32).reshape(
+        2 * CHUNK, LANE
+    )
 
     if "nogather" in _ABLATE:
         xa = pos_a * 1e-3
@@ -299,7 +354,10 @@ def _chunk_acc(k, seed, gchunk, it, planes_ref, co):
         xb = pos_b * 1e-3
         yb = pos_a * 1e-3
     else:
-        gab = jnp.dot(e_hi, co, preferred_element_type=jnp.float32)
+        co_h, co_l = _split_bf16(co)
+        e_hi_b = e_hi.astype(jnp.bfloat16)
+        gab = jnp.dot(e_hi_b, co_h, preferred_element_type=jnp.float32)
+        gab = gab + jnp.dot(e_hi_b, co_l, preferred_element_type=jnp.float32)
         x_ab = jnp.sum(
             gab[:, :LANE] * e_lo, axis=1, keepdims=True
         ).reshape(2 * RC, LANE)
@@ -322,28 +380,49 @@ def _chunk_acc(k, seed, gchunk, it, planes_ref, co):
     ry = r * dy
 
     if "noscatter" in _ABLATE:
-        z = jnp.zeros((ch, 3 * LANE), jnp.float32)
-        return z.at[0, 0].add(jnp.sum(rx) + jnp.sum(ry))
+        s = jnp.sum(rx) + jnp.sum(ry)
+        return jnp.full((ch, 3 * LANE), 1e-30, jnp.float32) * s
+
+    # value-folded scatter: fold rx/ry/count into the HI one-hot (ch wide,
+    # cheaper than spreading over the 128-wide LO side), then bf16
+    # matmuls against e_lo yield the three (ch, LANE) accumulator panes.
     rxx = jnp.concatenate([-rx, rx], axis=0)[:, :, None]
     ryy = jnp.concatenate([-ry, ry], axis=0)[:, :, None]
     vv = jnp.concatenate([vf, vf], axis=0)[:, :, None]
-    spread = jnp.concatenate(
-        [e_lo3 * rxx, e_lo3 * ryy, e_lo3 * vv], axis=2
-    ).reshape(2 * CHUNK, 3 * LANE)
-    return jax.lax.dot_general(
-        e_hi,
-        spread,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    e_lo_b = e_lo.astype(jnp.bfloat16)
+    if "foldcat" in _ABLATE:
+        hcat = jnp.concatenate(
+            [e_hi3 * rxx, e_hi3 * ryy, e_hi3 * vv], axis=2
+        ).reshape(2 * CHUNK, 3 * ch)
+        accT = jax.lax.dot_general(
+            hcat.astype(jnp.bfloat16),
+            e_lo_b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.concatenate(
+            [accT[0:ch], accT[ch : 2 * ch], accT[2 * ch : 3 * ch]], axis=1
+        )
+
+    def sc(v3):
+        piece = (e_hi3 * v3).reshape(2 * CHUNK, ch).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            piece,
+            e_lo_b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return jnp.concatenate([sc(rxx), sc(ryy), sc(vv)], axis=1)
 
 
-def _make_kernel(cfg, data: PallasSgdData, nch: int, num_batches: int):
-    """Mega-grid kernel: the whole run in one pallas_call."""
-    k = _kernel_consts(cfg, data)
-    ch = k["ch"]
+def _make_kernel(ch: int, nch: int, num_batches: int, seed: int):
+    """Mega-grid kernel: the whole run in one pallas_call.
 
-    def kernel(seed_ref, planes_ref, cin_ref, out_ref, acc_ref):
+    grid = (iter_max, num_batches, nch); scalar prefetch carries the
+    per-chunk (o, D, eta) host arrays."""
+
+    def kernel(o_ref, d_ref, e_ref, planes_ref, cin_ref, out_ref, acc_ref):
         it = pl.program_id(0)
         b = pl.program_id(1)
         c = pl.program_id(2)
@@ -357,7 +436,11 @@ def _make_kernel(cfg, data: PallasSgdData, nch: int, num_batches: int):
         def _():
             acc_ref[:] = jnp.zeros((ch, 3 * LANE), jnp.float32)
 
-        acc = _chunk_acc(k, seed_ref[0], gchunk, it, planes_ref, out_ref[:])
+        coins = _pair_coins(gchunk * 1000003 + seed)
+        acc = _chunk_acc(
+            ch, o_ref[gchunk], d_ref[gchunk], e_ref[gchunk],
+            planes_ref, out_ref[:], coins,
+        )
         acc_ref[:] = acc_ref[:] + acc
 
         # batch boundary: apply the per-endpoint mean merge
@@ -370,114 +453,32 @@ def _make_kernel(cfg, data: PallasSgdData, nch: int, num_batches: int):
     return kernel
 
 
-def _make_batch_kernel(cfg, data: PallasSgdData, nch: int):
-    """Per-batch kernel: grid=(nch,), invoked once per merge batch from an
-    XLA fori_loop (used when the one-dispatch mega-grid is not wanted)."""
-    k = _kernel_consts(cfg, data)
-    ch = k["ch"]
-
-    def kernel(sarr_ref, planes_ref, cin_ref, out_ref, acc_ref):
-        c = pl.program_id(0)
-
-        @pl.when(c == 0)
-        def _():
-            acc_ref[:] = jnp.zeros((ch, 3 * LANE), jnp.float32)
-
-        seed = sarr_ref[0]
-        batch_index = sarr_ref[1]
-        it = sarr_ref[2]
-        gchunk = batch_index * nch + c
-        acc = _chunk_acc(k, seed, gchunk, it, planes_ref, cin_ref[:])
-        acc_ref[:] = acc_ref[:] + acc
-
-        @pl.when(c == nch - 1)
-        def _():
-            cnt = jnp.maximum(acc_ref[:, 2 * LANE :], 1.0)
-            upd = acc_ref[:, : 2 * LANE] / jnp.concatenate([cnt, cnt], axis=1)
-            out_ref[:] = cin_ref[:] + upd
-
-    return kernel
-
-
 @partial(
     jax.jit,
-    static_argnames=("cfg", "data_meta", "nch", "num_batches", "interpret"),
-)
-def _pallas_sgd_2d_batched(
-    coords_planes, planes, seed, cfg, data_meta, nch: int,
-    num_batches: int, interpret: bool,
-):
-    """Per-batch-dispatch variant: XLA fori_loop over (iter, batch) calling
-    the grid=(nch,) kernel once per merge batch."""
-    data = PallasSgdData(planes, *data_meta)
-    ch = data.ch
-    pr = planes.shape[1]
-    kernel = _make_batch_kernel(cfg, data, nch)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nch,),
-        in_specs=[
-            pl.BlockSpec(
-                (4, pr, LANE), lambda c, s: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (ch, 2 * LANE), lambda c, s: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (ch, 2 * LANE), lambda c, s: (0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((ch, 3 * LANE), jnp.float32),
-        ],
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ch, 2 * LANE), jnp.float32),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )
-
-    def body(g_batch, co):
-        it = g_batch // num_batches
-        sarr = jnp.stack([seed[0], g_batch, it])
-        return call(sarr, planes, co)
-
-    return jax.lax.fori_loop(
-        0, cfg.iter_max * num_batches, body, coords_planes
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "data_meta", "nch", "num_batches", "interpret"),
+    static_argnames=("iter_max", "seed", "ch", "nch", "num_batches",
+                     "interpret"),
 )
 def _pallas_sgd_2d_call(
-    coords_planes, planes, seed, cfg, data_meta, nch: int,
-    num_batches: int, interpret: bool,
+    coords_planes, planes, o_arr, d_arr, eta_arr, iter_max: int, seed: int,
+    ch: int, nch: int, num_batches: int, interpret: bool,
 ):
-    data = PallasSgdData(planes, *data_meta)
-    ch = data.ch
     pr = planes.shape[1]
-    kernel = _make_kernel(cfg, data, nch, num_batches)
+    kernel = _make_kernel(ch, nch, num_batches, seed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(cfg.iter_max, num_batches, nch),
+        num_scalar_prefetch=3,
+        grid=(iter_max, num_batches, nch),
         in_specs=[
             pl.BlockSpec(
-                (4, pr, LANE), lambda i, b, c, s: (0, 0, 0),
+                (4, pr, LANE), lambda i, b, c, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (ch, 2 * LANE), lambda i, b, c, s: (0, 0),
+                (ch, 2 * LANE), lambda i, b, c, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (ch, 2 * LANE), lambda i, b, c, s: (0, 0),
+            (ch, 2 * LANE), lambda i, b, c, *_: (0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -491,7 +492,7 @@ def _pallas_sgd_2d_call(
         # the TPU-semantics interpreter (pltpu.prng_*, roll, ...) — plain
         # interpret=True lacks lowerings for the TPU primitives
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, planes, coords_planes)
+    )(o_arr, d_arr, eta_arr, planes, coords_planes)
 
 
 def _num_batches(cfg, nch: int) -> int:
@@ -514,17 +515,20 @@ def path_sgd_2d_pallas(
         return np.asarray(coords0, np.float64)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    data = PallasSgdData.build(g, cfg.space)
+    data = PallasSgdData.build_cached(g, cfg.space)
     nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
     nb = _num_batches(cfg, nch)
+    o_arr, d_arr, eta_arr = _host_chunk_scalars(cfg, data, nch, nb)
     co = coords_to_planes(np.asarray(coords0, np.float32), data.ch)
-    meta = (data.num_steps, data.n_blocks, data.ch, data.num_nodes, data.space)
     out = _pallas_sgd_2d_call(
         jnp.asarray(co),
         data.planes,
-        jnp.asarray([cfg.seed], jnp.int32),
-        cfg,
-        meta,
+        jnp.asarray(o_arr),
+        jnp.asarray(d_arr),
+        jnp.asarray(eta_arr),
+        int(cfg.iter_max),
+        int(cfg.seed) & 0x7FFFFFFF,
+        data.ch,
         nch,
         nb,
         bool(interpret),
@@ -534,34 +538,18 @@ def path_sgd_2d_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "S", "space", "nch", "num_batches", "n2"),
+    static_argnames=("iter_max", "S", "space", "nch", "num_batches", "n2"),
 )
-def _strata_xla_run(coords, key, planes_flat, cfg, S, space, nch, num_batches, n2):
-    """Pure-XLA reference of the strata kernel semantics (same window/
-    shared-D sampling, same mean-merge batching), used by tests on CPU and
-    as documentation of the kernel's math.  RNG is threefry, so results
-    are not bitwise-comparable with the TPU kernel — only statistically.
-    planes_flat: i32 (4, PAD) [pos, pos_end, handle, path] modularly padded.
-    """
-    from .sgd import sgd_schedule
-
+def _strata_xla_run(coords, key, planes_flat, o_arr, d_arr, eta_arr,
+                    iter_max, S, space, nch, num_batches, n2):
+    """Pure-XLA reference of the strata kernel semantics: the SAME host
+    (o, D, eta) chunk scalars and the same window/mean-merge batching;
+    only the per-pair endpoint coins differ (threefry here, TPU core PRNG
+    in the kernel), so results agree statistically, not bitwise.
+    planes_flat: i32 (4, PAD) [pos, pos_end, handle, path]."""
     tp, tpe, th, tpa = (planes_flat[i] for i in range(4))
-    zeta_n, eta_z = _zeta_consts(cfg, space)
-    alpha = 1.0 / (1.0 - cfg.theta)
-    half_pow_theta = float(0.5**cfg.theta)
-    etas = jnp.asarray(
-        sgd_schedule(
-            1.0 / cfg.eta_max, 1.0, cfg.iter_max,
-            cfg.iter_with_max_learning_rate, cfg.eps,
-        ),
-        jnp.float32,
-    )
-    n_blocks = max(1, -(-S // LANE))
-    first_cooling = cfg.first_cooling_iteration
 
     def iter_body(it, coords):
-        eta_lr = etas[it]
-        cooling = it >= first_cooling
         key_it = jax.random.fold_in(key, it)
 
         def batch_body(b, coords):
@@ -569,32 +557,15 @@ def _strata_xla_run(coords, key, planes_flat, cfg, S, space, nch, num_batches, n
             acc = jnp.zeros((n2, 3), jnp.float32)
 
             def chunk_body(c, acc):
+                gchunk = (it * num_batches + b) * nch + c
                 kc = jax.random.fold_in(kb, c)
-                ks, kp = jax.random.split(kc)
-                sc = jax.random.uniform(ks, (3,), jnp.float32)
-                wm = jax.random.bits(ks, (), jnp.uint32)
-                o = jnp.minimum(
-                    jnp.floor(sc[0] * n_blocks).astype(jnp.int32), n_blocks - 1
-                ) * LANE
-                x = jnp.maximum(eta_z * sc[1] - eta_z + 1.0, 1e-30)
-                powx = jnp.exp(jnp.float32(alpha) * jnp.log(x))
-                uz = sc[1] * zeta_n
-                val = jnp.where(
-                    uz < 1.0,
-                    1.0,
-                    jnp.where(uz < 1.0 + half_pow_theta, 2.0, 1.0 + space * powx),
-                )
-                d_zipf = jnp.clip(jnp.floor(val).astype(jnp.int32), 1, space)
-                d_unif = 1 + jnp.floor(
-                    sc[2] * jnp.float32(max(space - 1, 1))
-                ).astype(jnp.int32)
-                D = jnp.where(
-                    jnp.logical_or(cooling, (wm & 1) > 0), d_zipf, d_unif
-                )
+                o = o_arr[gchunk] * LANE
+                D = d_arr[gchunk]
+                eta_lr = eta_arr[gchunk]
                 ia = o + jnp.arange(CHUNK, dtype=jnp.int32)
                 ib = ia + D
                 valid = jnp.logical_and(tpa[ia] == tpa[ib], tpa[ia] >= 0)
-                w = jax.random.bits(kp, (2, CHUNK), jnp.uint32)
+                w = jax.random.bits(kc, (2, CHUNK), jnp.uint32)
                 ca = (w[0] & 1).astype(jnp.int32)
                 cb = (w[1] & 1).astype(jnp.int32)
                 ha, hb = th[ia], th[ib]
@@ -620,7 +591,7 @@ def _strata_xla_run(coords, key, planes_flat, cfg, S, space, nch, num_batches, n
 
         return jax.lax.fori_loop(0, num_batches, batch_body, coords)
 
-    return jax.lax.fori_loop(0, cfg.iter_max, iter_body, coords)
+    return jax.lax.fori_loop(0, iter_max, iter_body, coords)
 
 
 def path_sgd_2d_strata_xla(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
@@ -635,12 +606,16 @@ def path_sgd_2d_strata_xla(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
     data = PallasSgdData.build(g, cfg.space)
     nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
     nb = _num_batches(cfg, nch)
+    o_arr, d_arr, eta_arr = _host_chunk_scalars(cfg, data, nch, nb)
     planes_flat = jnp.asarray(np.asarray(data.planes).reshape(4, -1))
     out = _strata_xla_run(
         jnp.asarray(np.asarray(coords0, np.float32)),
         jax.random.key(cfg.seed),
         planes_flat,
-        cfg,
+        jnp.asarray(o_arr),
+        jnp.asarray(d_arr),
+        jnp.asarray(eta_arr),
+        int(cfg.iter_max),
         data.num_steps,
         int(data.space),
         nch,
@@ -655,7 +630,8 @@ def pallas_supported(g, cfg) -> bool:
 
     Requires: TPU backend, no delta early-stop (the kernel runs the full
     schedule in one dispatch), VMEM-resident step planes and coordinates,
-    and f32-exact positions (< 2^24).
+    f32-exact positions (< 2^24), and prefetch scalar arrays within the
+    SMEM budget.
     """
     if jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -670,6 +646,10 @@ def pallas_supported(g, cfg) -> bool:
     space = int(cfg.space)
     pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, RC * LANE)
     ch = _pad_to(max(-(-2 * g.num_nodes // LANE), 1), 8)
+    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
+    nb = _num_batches(cfg, nch)
+    if cfg.iter_max * nb * nch > MAX_CHUNKS:
+        return False
     return 4 * pad * 4 < 7 * 1024 * 1024 and ch <= 512
 
 
@@ -678,69 +658,12 @@ def pallas_supported(g, cfg) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _chunk_acc_1d(k, seed, gchunk, it, planes_ref, x_ref):
+def _chunk_acc_1d(chn, o_blk, D, eta_lr, planes_ref, x_ref):
     """1D strata chunk: like _chunk_acc but with per-NODE scalar positions
-    (X only); returns the (chn, 2*LANE) [dx_sum | count] accumulator.
-    Update math mirrors ops.sgd._update_1d (reference: path_sgd.cpp:304-396;
-    1D cooling starts strictly after first_cooling, path_sgd.cpp:194)."""
-    chn = k["ch"]
-    space = k["space"]
-    two24 = float(2.0**-24)
-
-    pltpu.prng_seed(seed + gchunk * 7919)
-    bits = pltpu.bitcast(pltpu.prng_random_bits((1, RC, LANE)), jnp.int32)
-    del bits  # 1D draws no per-pair coins; keep the PRNG stream advancing
-
-    def mix(h):
-        h = (h ^ jax.lax.shift_right_logical(h, 16)) * (-2048144789)
-        h = (h ^ jax.lax.shift_right_logical(h, 13)) * (-1028477387)
-        return h ^ jax.lax.shift_right_logical(h, 16)
-
-    def u24(word):
-        return ((word >> 8) & 0xFFFFFF).astype(jnp.float32) * two24
-
-    h0 = mix(gchunk * (-1640531527) + seed)
-    h1 = mix(h0 + 1779033703)
-    h2 = mix(h1 + (-1150833019))
-    h3 = mix(h2 + 1013904242)
-    u_o = u24(h0)
-    u_z = u24(h1)
-    u_u = u24(h2)
-    o_blk = jnp.floor(u_o * jnp.float32(k["n_blocks"])).astype(jnp.int32)
-    o_blk = jnp.minimum(o_blk, k["n_blocks"] - 1)
-    x = jnp.maximum(k["eta_z"] * u_z - k["eta_z"] + 1.0, 1e-30)
-    powx = jnp.exp(jnp.float32(k["alpha"]) * jnp.log(x))
-    uz = u_z * k["zeta_n"]
-    val = jnp.where(
-        uz < 1.0,
-        1.0,
-        jnp.where(uz < 1.0 + k["half_pow_theta"], 2.0, 1.0 + space * powx),
-    )
-    d_zipf = jnp.clip(jnp.floor(val).astype(jnp.int32), 1, space)
-    d_unif = 1 + jnp.floor(
-        u_u * jnp.float32(max(space - 1, 1))
-    ).astype(jnp.int32)
-    use_zipf = jnp.logical_or(it > k["first_cooling"], (h3 & 1) > 0)
-    D = jnp.where(use_zipf, d_zipf, d_unif)
-
-    t = it.astype(jnp.float32)
-    eta_lr = k["eta_lr_max"] * jnp.exp(
-        jnp.float32(-k["lam"]) * jnp.abs(t - jnp.float32(k["t_peak"]))
-    )
-    eta_lr = jnp.where(jnp.isfinite(eta_lr), eta_lr, k["eta_lr_min"])
-
-    r0 = o_blk + jax.lax.shift_right_logical(D, 7)
-    c_sh = jnp.bitwise_and(D, LANE - 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RC, LANE), 1)
-    keep = lane < (LANE - c_sh)
-
-    def slice_a(p):
-        return planes_ref[p, pl.ds(o_blk, RC), :]
-
-    def slice_b(p):
-        rows = planes_ref[p, pl.ds(r0, 2 * RC), :]
-        r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=1)
-        return jnp.where(keep, r1[0:RC], r1[1 : RC + 1])
+    (X only) and no endpoint coins; returns the (chn, 2*LANE)
+    [dx_sum | count] accumulator.  Update math mirrors ops.sgd._update_1d
+    (reference: path_sgd.cpp:304-396)."""
+    slice_a, slice_b = _window_slices(planes_ref, o_blk, D)
 
     pos_a = slice_a(_POS).astype(jnp.float32)
     handle_a = slice_a(_HANDLE)
@@ -756,16 +679,16 @@ def _chunk_acc_1d(k, seed, gchunk, it, planes_ref, x_ref):
     node_b = handle_b >> 1
     vf = valid.astype(jnp.float32)
 
-    def onehot3(idx, kk):
-        io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
-        return (idx[:, :, None] == io).astype(jnp.float32)
-
     nd_ab = jnp.concatenate([node_a, node_b], axis=0)
-    e_hi = onehot3(nd_ab >> 7, chn).reshape(2 * CHUNK, chn)
-    e_lo3 = onehot3(nd_ab & (LANE - 1), LANE)
-    e_lo = e_lo3.reshape(2 * CHUNK, LANE)
+    e_hi3 = _onehot3(nd_ab >> 7, chn, jnp.float32)
+    e_lo = _onehot3(nd_ab & (LANE - 1), LANE, jnp.float32).reshape(
+        2 * CHUNK, LANE
+    )
 
-    gab = jnp.dot(e_hi, x_ref, preferred_element_type=jnp.float32)
+    x_h, x_l = _split_bf16(x_ref)
+    e_hi_b = e_hi3.reshape(2 * CHUNK, chn).astype(jnp.bfloat16)
+    gab = jnp.dot(e_hi_b, x_h, preferred_element_type=jnp.float32)
+    gab = gab + jnp.dot(e_hi_b, x_l, preferred_element_type=jnp.float32)
     x_ab = jnp.sum(gab * e_lo, axis=1, keepdims=True).reshape(2 * RC, LANE)
     xa, xb = x_ab[:RC], x_ab[RC:]
 
@@ -779,96 +702,91 @@ def _chunk_acc_1d(k, seed, gchunk, it, planes_ref, x_ref):
 
     rxx = jnp.concatenate([-r, r], axis=0)[:, :, None]
     vv = jnp.concatenate([vf, vf], axis=0)[:, :, None]
-    spread = jnp.concatenate([e_lo3 * rxx, e_lo3 * vv], axis=2).reshape(
-        2 * CHUNK, 2 * LANE
+    hcat = jnp.concatenate([e_hi3 * rxx, e_hi3 * vv], axis=2).reshape(
+        2 * CHUNK, 2 * chn
     )
-    return jax.lax.dot_general(
-        e_hi,
-        spread,
+    accT = jax.lax.dot_general(
+        hcat.astype(jnp.bfloat16),
+        e_lo.astype(jnp.bfloat16),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    return jnp.concatenate([accT[0:chn], accT[chn : 2 * chn]], axis=1)
 
 
-def _make_batch_kernel_1d(cfg, data: PallasSgdData, nch: int):
-    k = _kernel_consts(cfg, data)
-    chn = k["ch"]
+def _make_kernel_1d(chn: int, nch: int, num_batches: int):
+    def kernel(o_ref, d_ref, e_ref, planes_ref, xin_ref, out_ref, acc_ref):
+        it = pl.program_id(0)
+        b = pl.program_id(1)
+        c = pl.program_id(2)
+        gchunk = (it * num_batches + b) * nch + c
 
-    def kernel(sarr_ref, planes_ref, xin_ref, out_ref, acc_ref):
-        c = pl.program_id(0)
+        @pl.when(gchunk == 0)
+        def _():
+            out_ref[:] = xin_ref[:]
 
         @pl.when(c == 0)
         def _():
             acc_ref[:] = jnp.zeros((chn, 2 * LANE), jnp.float32)
 
-        seed = sarr_ref[0]
-        batch_index = sarr_ref[1]
-        it = sarr_ref[2]
-        gchunk = batch_index * nch + c
-        acc = _chunk_acc_1d(k, seed, gchunk, it, planes_ref, xin_ref[:])
+        acc = _chunk_acc_1d(
+            chn, o_ref[gchunk], d_ref[gchunk], e_ref[gchunk],
+            planes_ref, out_ref[:],
+        )
         acc_ref[:] = acc_ref[:] + acc
 
         @pl.when(c == nch - 1)
         def _():
             cnt = jnp.maximum(acc_ref[:, LANE:], 1.0)
-            out_ref[:] = xin_ref[:] + acc_ref[:, :LANE] / cnt
+            out_ref[:] = out_ref[:] + acc_ref[:, :LANE] / cnt
 
     return kernel
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "data_meta", "nch", "num_batches", "interpret"),
+    static_argnames=("iter_max", "chn", "nch", "num_batches", "interpret"),
 )
-def _pallas_sgd_1d_batched(
-    x_plane, planes, seed, cfg, data_meta, nch: int,
-    num_batches: int, interpret: bool,
+def _pallas_sgd_1d_call(
+    x_plane, planes, o_arr, d_arr, eta_arr, iter_max: int,
+    chn: int, nch: int, num_batches: int, interpret: bool,
 ):
-    data = PallasSgdData(planes, *data_meta)
-    chn = data.ch
     pr = planes.shape[1]
-    kernel = _make_batch_kernel_1d(cfg, data, nch)
+    kernel = _make_kernel_1d(chn, nch, num_batches)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nch,),
+        num_scalar_prefetch=3,
+        grid=(iter_max, num_batches, nch),
         in_specs=[
             pl.BlockSpec(
-                (4, pr, LANE), lambda c, s: (0, 0, 0),
+                (4, pr, LANE), lambda i, b, c, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (chn, LANE), lambda c, s: (0, 0),
+                (chn, LANE), lambda i, b, c, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (chn, LANE), lambda c, s: (0, 0),
+            (chn, LANE), lambda i, b, c, *_: (0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((chn, 2 * LANE), jnp.float32),
         ],
     )
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((chn, LANE), jnp.float32),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )
-
-    def body(g_batch, xp):
-        it = g_batch // num_batches
-        sarr = jnp.stack([seed[0], g_batch, it])
-        return call(sarr, planes, xp)
-
-    return jax.lax.fori_loop(0, cfg.iter_max * num_batches, body, x_plane)
+    )(o_arr, d_arr, eta_arr, planes, x_plane)
 
 
 def build_data_1d(g, cfg) -> PallasSgdData:
     """1D planes share the 2D layout but size the coordinate rows by NODES
     (not endpoints) and keep the 1D zipf-space quirk (space in nt, jumps in
     steps — reference: sort_main.cpp:387 vs path_sgd.cpp:249)."""
-    d = PallasSgdData.build(g, cfg.space)
+    d = PallasSgdData.build_cached(g, cfg.space)
     chn = _pad_to(max(-(-g.num_nodes // LANE), 1), 8)
     return PallasSgdData(
         planes=d.planes,
@@ -892,6 +810,7 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None) -> np.ndarray:
     data = build_data_1d(g, cfg)
     nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
     nb = _num_batches(cfg, nch)
+    o_arr, d_arr, eta_arr = _host_chunk_scalars(cfg, data, nch, nb, one_d=True)
     x = np.zeros(data.ch * LANE, np.float32)
     x0v = (
         g.node_offset.astype(np.float32)
@@ -899,13 +818,14 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None) -> np.ndarray:
         else np.asarray(x0, np.float32)
     )
     x[: g.num_nodes] = x0v
-    meta = (data.num_steps, data.n_blocks, data.ch, data.num_nodes, data.space)
-    out = _pallas_sgd_1d_batched(
+    out = _pallas_sgd_1d_call(
         jnp.asarray(x.reshape(data.ch, LANE)),
         data.planes,
-        jnp.asarray([cfg.seed], jnp.int32),
-        cfg,
-        meta,
+        jnp.asarray(o_arr),
+        jnp.asarray(d_arr),
+        jnp.asarray(eta_arr),
+        int(cfg.iter_max),
+        data.ch,
         nch,
         nb,
         False,
@@ -926,4 +846,8 @@ def pallas_supported_1d(g, cfg) -> bool:
         return False
     pad = _pad_to(S + CHUNK + int(cfg.space) + 2 * RC * LANE, RC * LANE)
     chn = _pad_to(max(-(-g.num_nodes // LANE), 1), 8)
+    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
+    nb = _num_batches(cfg, nch)
+    if cfg.iter_max * nb * nch > MAX_CHUNKS:
+        return False
     return 4 * pad * 4 < 7 * 1024 * 1024 and chn <= 512
