@@ -208,18 +208,16 @@ def _zeta_consts(cfg, space: int):
 
 
 def _eta_schedule(cfg) -> np.ndarray:
-    """Per-iteration learning rate, the closed form of
-    path_linear_sgd_schedule (reference: path_sgd.cpp:466-501)."""
-    eta_max = float(cfg.eta_max)
-    eps = float(cfg.eps)
-    lam = (
-        math.log(eta_max / eps) / (cfg.iter_max - 1)
-        if cfg.iter_max > 1
-        else 0.0
+    """Per-iteration learning rate: the same path_linear_sgd_schedule the
+    XLA path consumes (reference: path_sgd.cpp:466-501), truncated to the
+    iter_max entries the kernel indexes."""
+    from .sgd import sgd_schedule
+
+    etas = sgd_schedule(
+        1.0 / cfg.eta_max, 1.0, cfg.iter_max,
+        cfg.iter_with_max_learning_rate, cfg.eps,
     )
-    t = np.arange(cfg.iter_max, dtype=np.float64)
-    etas = eta_max * np.exp(-lam * np.abs(t - cfg.iter_with_max_learning_rate))
-    return np.where(np.isfinite(etas), etas, eps).astype(np.float32)
+    return np.asarray(etas[: cfg.iter_max], np.float32)
 
 
 _SCALAR_CACHE: dict = {}
@@ -702,16 +700,18 @@ def _chunk_acc_1d(chn, o_blk, D, eta_lr, planes_ref, x_ref):
 
     rxx = jnp.concatenate([-r, r], axis=0)[:, :, None]
     vv = jnp.concatenate([vf, vf], axis=0)[:, :, None]
-    hcat = jnp.concatenate([e_hi3 * rxx, e_hi3 * vv], axis=2).reshape(
-        2 * CHUNK, 2 * chn
-    )
-    accT = jax.lax.dot_general(
-        hcat.astype(jnp.bfloat16),
-        e_lo.astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return jnp.concatenate([accT[0:chn], accT[chn : 2 * chn]], axis=1)
+    e_lo_b = e_lo.astype(jnp.bfloat16)
+
+    def sc(v3):
+        piece = (e_hi3 * v3).reshape(2 * CHUNK, chn).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            piece,
+            e_lo_b,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return jnp.concatenate([sc(rxx), sc(vv)], axis=1)
 
 
 def _make_kernel_1d(chn: int, nch: int, num_batches: int):

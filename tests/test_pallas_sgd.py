@@ -118,3 +118,80 @@ def test_strata_xla_respects_path_boundaries():
     )
     moved = np.abs(out[: 2 * 30] - c0_f32[: 2 * 30]).sum()
     assert moved > 0  # the real path did optimize
+
+
+def test_eta_schedule_matches_sgd_schedule():
+    """The host-side closed form must equal ops.sgd.sgd_schedule, which the
+    XLA path uses (reference: path_sgd.cpp:466-501)."""
+    cfg = sgd.SgdConfig(
+        iter_max=30, min_term_updates=10, eta_max=9.61e6, eps=0.01,
+        space=3100, space_max=1000, space_quantization_step=100,
+    )
+    ours = ps._eta_schedule(cfg)
+    ref = np.asarray(
+        sgd.sgd_schedule(
+            1.0 / cfg.eta_max, 1.0, cfg.iter_max,
+            cfg.iter_with_max_learning_rate, cfg.eps,
+        ),
+        np.float32,
+    )
+    assert ours.shape == (cfg.iter_max,)
+    np.testing.assert_allclose(ours, ref[: cfg.iter_max], rtol=1e-6)
+
+
+def test_host_chunk_scalars_deterministic_and_in_range(drb_graph):
+    g = drb_graph
+    cfg = sgd.derive_config_2d(g)
+    data = ps.PallasSgdData.build(g, cfg.space)
+    o1, d1, e1 = ps._host_chunk_scalars(cfg, data, 4, 5)
+    o2, d2, e2 = ps._host_chunk_scalars(cfg, data, 4, 5)
+    o1, d1, e1 = map(np.asarray, (o1, d1, e1))
+    o2, d2, e2 = map(np.asarray, (o2, d2, e2))
+    assert np.array_equal(o1, o2) and np.array_equal(d1, d2)
+    assert np.array_equal(e1, e2)
+    total = cfg.iter_max * 5 * 4
+    assert o1.shape == (total,) and d1.shape == (total,)
+    assert o1.min() >= 0 and o1.max() < data.n_blocks
+    assert d1.min() >= 1 and d1.max() <= data.space
+    # after cooling every chunk is Zipf -> heavy mass at D==1
+    it = np.arange(total) // 20
+    post = d1[it >= cfg.first_cooling_iteration]
+    assert (post == 1).mean() > 0.05
+    # eta follows the schedule per iteration
+    ref = ps._eta_schedule(cfg)
+    assert np.array_equal(e1, ref[it])
+
+
+def test_host_chunk_scalars_zipf_distribution(drb_graph):
+    """The closed-form inverse must reproduce the quantized-zeta Zipf mass
+    (reference: dirtyzipf via src/cuda/layout.cu:89-113)."""
+    g = drb_graph
+    cfg = sgd.derive_config_2d(g, iter_max=100)
+    data = ps.PallasSgdData.build(g, cfg.space)
+    _, d_arr, _ = ps._host_chunk_scalars(cfg, data, 8, 20)
+    d_arr = np.asarray(d_arr)
+    total = len(d_arr)
+    it = np.arange(total) // 160
+    post = d_arr[it >= cfg.first_cooling_iteration].astype(np.float64)
+    # P(D=1) = 1/zeta(space), theta=0.99
+    zeta_n, _ = ps._zeta_consts(cfg, int(data.space))
+    p1 = 1.0 / zeta_n
+    frac = (post == 1).mean()
+    assert abs(frac - p1) < 0.02, (frac, p1)
+
+
+def test_pair_coins_balanced_and_deterministic():
+    import jax.numpy as jnp
+
+    c1 = np.asarray(ps._pair_coins(jnp.int32(12345)))
+    c2 = np.asarray(ps._pair_coins(jnp.int32(12345)))
+    c3 = np.asarray(ps._pair_coins(jnp.int32(12346)))
+    assert np.array_equal(c1, c2)
+    assert not np.array_equal(c1, c3)
+    bits = c1 & 1
+    assert c1.shape == (2, ps.RC, ps.LANE)
+    # bit-0 balance within 5% on 2048 draws
+    assert abs(bits.mean() - 0.5) < 0.05
+    # the two planes are decorrelated
+    agree = (bits[0] == bits[1]).mean()
+    assert abs(agree - 0.5) < 0.06
