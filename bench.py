@@ -84,13 +84,30 @@ def main():
         f"(fixture: 1.2855) — quality regression"
     )
 
-    # secondary: the 1D sort default workload
+    # secondary: the 1D sort default workload, with its own quality gate
+    # (fixture DRB1-3123_sorted.og measures 4.952 nt-space distance)
+    from odgi_tpu.algorithms.path_sgd_sort import order_from_x
+
     cfg1 = sgd.derive_config_1d(g)
-    sgd.path_sgd_1d(g, cfg1)  # compile
+    x1 = sgd.path_sgd_1d(g, cfg1)  # compile
     t0 = time.time()
-    sgd.path_sgd_1d(g, cfg1)
+    x1 = sgd.path_sgd_1d(g, cfg1)
     sort_wall = time.time() - t0
-    sort_rate = cfg1.iter_max * cfg1.num_batches * cfg1.batch_size / sort_wall
+    from odgi_tpu.ops import pallas_sgd as _ps
+
+    if cfg1.pallas and _ps.pallas_supported_1d(g, cfg1):
+        nch1 = int(np.clip(cfg1.batch_size // _ps.CHUNK, 1, 64))
+        nb1 = _ps._num_batches(cfg1, nch1)
+        sort_pairs = cfg1.iter_max * nb1 * nch1 * _ps.CHUNK
+    else:
+        sort_pairs = cfg1.iter_max * cfg1.num_batches * cfg1.batch_size
+    sort_rate = sort_pairs / sort_wall
+    g_sorted = g.apply_ordering(order_from_x(g, x1))
+    sort_dist = float(stats.sum_of_path_node_distances(g_sorted).all_nt_space)
+    assert sort_dist <= 4.952, (
+        f"1D sort nt-distance {sort_dist:.3f} exceeds the reference "
+        f"fixture (4.952) — sort quality regression"
+    )
 
     print(
         json.dumps(
@@ -105,6 +122,7 @@ def main():
                 "wall_cold_s": round(wall_cold, 3),
                 "wall_warm_s": round(wall_warm, 3),
                 "sort_pairs_per_sec": round(sort_rate),
+                "sort_dist": round(sort_dist, 4),
                 "pallas": bool(use_pallas),
                 "backend": jax.default_backend(),
             }

@@ -85,7 +85,7 @@ _POS, _POSEND, _HANDLE, _PATH = range(4)
 
 # Max per-run chunk count for the SMEM prefetch scalar arrays (3 x i32/f32
 # per chunk); beyond this the dispatch falls back to the XLA path.
-MAX_CHUNKS = 32768
+MAX_CHUNKS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CHUNKS", "32768"))
 
 _ABLATE = os.environ.get("ODGI_TPU_PALLAS_ABLATE", "")
 _DATA_CACHE: dict = {}
@@ -517,21 +517,36 @@ def path_sgd_2d_pallas(
     nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
     nb = _num_batches(cfg, nch)
     o_arr, d_arr, eta_arr = _host_chunk_scalars(cfg, data, nch, nb)
-    co = coords_to_planes(np.asarray(coords0, np.float32), data.ch)
-    out = _pallas_sgd_2d_call(
-        jnp.asarray(co),
-        data.planes,
-        jnp.asarray(o_arr),
-        jnp.asarray(d_arr),
-        jnp.asarray(eta_arr),
-        int(cfg.iter_max),
-        int(cfg.seed) & 0x7FFFFFFF,
-        data.ch,
-        nch,
-        nb,
-        bool(interpret),
-    )
-    return planes_to_coords(np.asarray(out), 2 * g.num_nodes).astype(np.float64)
+    co = jnp.asarray(coords_to_planes(np.asarray(coords0, np.float32), data.ch))
+    seed = int(cfg.seed) & 0x7FFFFFFF
+    # Segment long runs so each dispatch's SMEM prefetch arrays stay under
+    # MAX_CHUNKS; segments chain through the coordinate block, and the
+    # per-pair coin stream continues exactly because the hash consumes
+    # gchunk_local*1000003 + (seed + seg_start*1000003)
+    #   == gchunk_global*1000003 + seed  (mod 2^32).
+    per_iter = nb * nch
+    seg_iters = max(1, min(cfg.iter_max, MAX_CHUNKS // per_iter))
+    it0 = 0
+    while it0 < cfg.iter_max:
+        iters = min(seg_iters, cfg.iter_max - it0)
+        c0 = it0 * per_iter
+        c1 = (it0 + iters) * per_iter
+        seg_seed = (seed + c0 * 1000003) & 0x7FFFFFFF
+        co = _pallas_sgd_2d_call(
+            co,
+            data.planes,
+            o_arr[c0:c1],
+            d_arr[c0:c1],
+            eta_arr[c0:c1],
+            iters,
+            seg_seed,
+            data.ch,
+            nch,
+            nb,
+            bool(interpret),
+        )
+        it0 += iters
+    return planes_to_coords(np.asarray(co), 2 * g.num_nodes).astype(np.float64)
 
 
 @partial(
@@ -646,8 +661,8 @@ def pallas_supported(g, cfg) -> bool:
     ch = _pad_to(max(-(-2 * g.num_nodes // LANE), 1), 8)
     nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
     nb = _num_batches(cfg, nch)
-    if cfg.iter_max * nb * nch > MAX_CHUNKS:
-        return False
+    if nb * nch > MAX_CHUNKS:
+        return False  # a single iteration must fit one segmented dispatch
     return 4 * pad * 4 < 7 * 1024 * 1024 and ch <= 512
 
 
@@ -818,19 +833,30 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None) -> np.ndarray:
         else np.asarray(x0, np.float32)
     )
     x[: g.num_nodes] = x0v
-    out = _pallas_sgd_1d_call(
-        jnp.asarray(x.reshape(data.ch, LANE)),
-        data.planes,
-        jnp.asarray(o_arr),
-        jnp.asarray(d_arr),
-        jnp.asarray(eta_arr),
-        int(cfg.iter_max),
-        data.ch,
-        nch,
-        nb,
-        False,
-    )
-    return np.asarray(out).reshape(-1)[: g.num_nodes].astype(np.float64)
+    xp = jnp.asarray(x.reshape(data.ch, LANE))
+    # segmented dispatch, as in path_sgd_2d_pallas (1D draws no coins, so
+    # segments only need the scalar-array slices)
+    per_iter = nb * nch
+    seg_iters = max(1, min(cfg.iter_max, MAX_CHUNKS // per_iter))
+    it0 = 0
+    while it0 < cfg.iter_max:
+        iters = min(seg_iters, cfg.iter_max - it0)
+        c0 = it0 * per_iter
+        c1 = (it0 + iters) * per_iter
+        xp = _pallas_sgd_1d_call(
+            xp,
+            data.planes,
+            o_arr[c0:c1],
+            d_arr[c0:c1],
+            eta_arr[c0:c1],
+            iters,
+            data.ch,
+            nch,
+            nb,
+            False,
+        )
+        it0 += iters
+    return np.asarray(xp).reshape(-1)[: g.num_nodes].astype(np.float64)
 
 
 def pallas_supported_1d(g, cfg) -> bool:
@@ -848,6 +874,6 @@ def pallas_supported_1d(g, cfg) -> bool:
     chn = _pad_to(max(-(-g.num_nodes // LANE), 1), 8)
     nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
     nb = _num_batches(cfg, nch)
-    if cfg.iter_max * nb * nch > MAX_CHUNKS:
-        return False
+    if nb * nch > MAX_CHUNKS:
+        return False  # a single iteration must fit one segmented dispatch
     return 4 * pad * 4 < 7 * 1024 * 1024 and chn <= 512
