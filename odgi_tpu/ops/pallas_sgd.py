@@ -1,64 +1,70 @@
 """Fused Pallas TPU kernel for the PG-SGD layout/sort hot loop.
 
-The entire optimization (all iterations, all batches) runs as ONE
-`pallas_call`: coordinates live in the revisited VMEM output block for the
-whole run, update accumulators live in VMEM scratch, and the step table is
-VMEM-resident — zero HBM round-trips between the first and last pair
-update.  This replaces the per-iteration CUDA kernel-launch loop of the
-SC'24 GPU port (reference: src/cuda/layout.cu:442-447).
+Round-4 architecture: **O(1) work per pair** via per-step coordinate
+replicas.  The round-3 kernel routed every gather/scatter through dense
+one-hot matmuls whose cost was O(num_nodes) per pair (an architecture that
+measured 99.6M pairs/s — 4% of the A100-equivalent target).  This kernel
+removes the per-pair one-hots entirely:
 
-The design is shaped by what a TPU can and cannot do fast:
+- **Coordinates are replicated per step slot** in VMEM planes laid out in
+  step order (`cp`), so the strata-window pair gather is a contiguous
+  dynamic-slice read and the pair update is a contiguous dynamic-slice
+  read-modify-write — a handful of VPU ops per pair, independent of graph
+  size.  This is the TPU answer to the CUDA port's O(1) random access
+  (reference: src/cuda/layout.cu:141-188 — 2 random reads + 4 atomic
+  writes per pair): the TPU has no fast random access, so the random
+  access is designed out instead.
+- **A `base` plane snapshot** holds each replica's value at the last
+  consensus, so `cp - base` is exactly the per-slot accumulated delta.
+  Within a merge group the slot's replica compounds its own updates
+  sequentially (fresh local reads — the Hogwild analog of the reference's
+  racing threads, path_sgd.cpp:367-375), while different replicas of the
+  same node evolve independently like Hogwild workers.
+- **Consensus merge once per merge group** (default: one iteration, the
+  CUDA port's kernel-launch granularity, layout.cu:442-447): per node
+  endpoint, X += sum_over_steps(cp - base) / R with R = the node's static
+  step count — the mean over replica trajectories.  The merge rides the
+  MXU as factored one-hot matmuls over the *step table* (amortized over
+  the whole group's pairs, not per pair), then broadcasts the update back
+  into `cp` and `base`.  Both directions cost O(S * node_capacity) MACs
+  per merge — a few G-MACs on the reference graphs, microseconds on the
+  MXU.
 
-- **No random memory access**: the reference's per-term random step pair
-  (reference: src/algorithms/path_sgd_layout.cpp:100-377, layout.cu:190-287)
-  would need two random gathers per term.  Instead each CHUNK of 1024
-  pairs shares ONE jump distance D drawn from the same quantized-zeta Zipf
-  distribution (reference: path_sgd.cpp:124-138; closed-form inverse as in
-  cuda_rnd_zipf, layout.cu:89-113): the pairs are (step[o+i], step[o+i+D])
-  for a random 128-aligned window offset o, so BOTH sides of every pair
-  are contiguous VMEM slices (the partner side is a dynamic lane-rotate by
-  D mod 128 — a single-cycle vector op).  Pairs that cross a path boundary
-  are masked invalid; the surviving conditional distribution of D given a
-  step's position equals the reference's end-clamped Zipf (truncation and
-  renormalization commute).  Stratifying the Zipf draw per chunk was
-  validated to CONVERGE BETTER than the fixture: DRB1 default stress ~1.25
-  vs fixture 1.2855 (guarded by tests and bench.py's assertion).
-- **Pre-cooling uniform terms** (reference: path_sgd.cpp:274-279) use a
-  uniform jump D ~ U[1, space) with the same masking; after cooling all
-  chunks are Zipf, as in the CUDA port (layout.cu:239).
-- **Per-chunk scalars ride scalar prefetch (SMEM), not the scalar core**:
-  the window offset o, jump D and learning rate eta of every chunk are
-  precomputed on the HOST (numpy Philox keyed by cfg.seed) and passed as
-  SMEM arrays via PrefetchScalarGridSpec.  An earlier revision derived
-  them in-kernel from a splitmix hash + the closed-form Zipf inverse;
-  profiling showed that scalar chain (hash, exp, log per chunk) cost
-  ~4 us/chunk — a third of the whole kernel.  Only the per-PAIR endpoint
-  coins stay on the hardware PRNG, seeded ONCE for the whole run.
-- **Coordinate gather/scatter ride the MXU** as factored one-hot matmuls;
-  with the strata trick removing the step-table gather, these are the
-  only "random access" left and they are batched systolic work.  All
-  matmuls run as SINGLE bf16 passes: the one-hot operand is exact in
-  bf16, the coordinate operand is split hi+lo bf16 (2 passes reconstruct
-  full f32 — see _split_bf16), and the scatter operand is a stochastic
-  delta where 8-bit mantissa truncation is zero-mean noise (measured
-  stress-neutral on DRB1).  Mosaic's only exact alternative, HIGHEST,
-  costs 6 passes.
-- Hogwild merging (reference: "try until we succeed. risky.",
-  path_sgd.cpp:367-375) becomes a per-endpoint mean-merge applied at batch
-  boundaries (nch chunks per batch), the same batched-update contract as
-  ops/sgd.py.
+Sampling is unchanged from round 3 (validated against the reference's
+semantics): each CHUNK of 1024 pairs shares ONE jump distance D drawn
+from the quantized-zeta Zipf distribution (reference: path_sgd.cpp:
+124-138; closed-form inverse as in cuda_rnd_zipf, layout.cu:89-113) or
+uniform pre-cooling (path_sgd.cpp:274-279); the pairs are
+(step[o+i], step[o+i+D]) for a random 128-aligned window offset o, so
+both sides are contiguous VMEM slices (the partner side is a lane-rotate
+by D mod 128).  Pairs crossing a path boundary are masked invalid; the
+surviving conditional distribution of D equals the reference's
+end-clamped Zipf (truncation and renormalization commute).
 
-RNG contract for this path: chunk scalars from numpy Philox(cfg.seed),
-per-pair coins from the TPU core PRNG seeded with cfg.seed — deterministic
-for fixed config (the reference's Hogwild threads are nondeterministic
-anyway; only converged stress is comparable — reference:
-path_sgd.cpp:208-209).
+Numerics contract (honest version of the round-3 claims): pair gathers
+and pair updates are exact f32 (direct VMEM reads/writes — no bf16
+anywhere on the hot path).  Positions are i32 and differenced in i32, so
+term distances are exact for positions up to 2^31 (the round-3 2^24 cap
+is gone).  The consensus merge folds the per-slot delta sums and the
+broadcast update through single-pass bf16 matmuls: both operands are
+*small deltas*, so the 2^-8 relative rounding is zero-mean noise on the
+order of 1e-2 of one update step — measured stress-neutral (bench.py
+gates).  Node coordinates themselves accumulate in exact f32.
+
+RNG contract: chunk scalars (window o, jump D, learning rate eta) from
+numpy Philox(cfg.seed) on the host, prefetched to SMEM; per-pair endpoint
+coins from a splitmix-style hash of the GLOBAL chunk index (passed as
+data, so segmented dispatches share one compiled kernel and one coin
+stream — results are independent of segmentation).  Deterministic for a
+fixed config (the reference's Hogwild threads are nondeterministic
+anyway; only converged stress is comparable — path_sgd.cpp:208-209).
 
 Update math is identical to ops/sgd.py (reference: src/cuda/layout.cu:
 141-188): mu = min(eta/d, 1); Delta = mu*(mag - d)/2; head/tail endpoint
 choice with orientation fix-up (layout.cu:251-281); the learning-rate
 schedule is the exact closed form of path_linear_sgd_schedule (reference:
-path_sgd.cpp:466-501), evaluated on the host into the per-chunk eta array.
+path_sgd.cpp:466-501), evaluated on the host into the per-chunk eta
+array.
 """
 
 from __future__ import annotations
@@ -81,116 +87,213 @@ from .zipf import zeta_eta_table
 LANE = 128
 RC = int(os.environ.get("ODGI_TPU_PALLAS_RC", "8"))  # sublane rows per chunk
 CHUNK = RC * LANE      # pairs per chunk (one shared jump distance)
+TR = 32                # merge tile rows (TR*128 steps per merge tile)
 _POS, _POSEND, _HANDLE, _PATH = range(4)
+_P1_POS, _P1_HANDLE, _P1_PATH = range(3)  # 1D planes (no pos_end)
 
-# Max per-run chunk count for the SMEM prefetch scalar arrays (3 x i32/f32
-# per chunk); beyond this the dispatch falls back to the XLA path.
+# Max per-segment chunk count for the SMEM prefetch scalar arrays; longer
+# runs are split into segments at merge-group boundaries (same compiled
+# kernel — the segment base rides a prefetched meta array, so the coin
+# stream and the results are independent of the split).
 MAX_CHUNKS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CHUNKS", "32768"))
+# Merge groups per iteration (1 = consensus once per iteration, the CUDA
+# launch granularity).  >1 merges more often (less replica staleness,
+# more merge overhead).
+MERGES_PER_ITER = int(os.environ.get("ODGI_TPU_PALLAS_MPI", "1"))
+# VMEM budget for the resident planes (static + cp + base), bytes.
+VMEM_BUDGET = int(os.environ.get("ODGI_TPU_PALLAS_VMEM", str(24 * 1024 * 1024)))
 
 _ABLATE = os.environ.get("ODGI_TPU_PALLAS_ABLATE", "")
 _DATA_CACHE: dict = {}
-
-
-def _split_bf16(x):
-    """f32 -> (hi, lo) bf16 planes with hi + lo == x to f32 roundoff.
-
-    dot(onehot_bf16, hi) + dot(onehot_bf16, lo) with f32 accumulation is
-    an EXACT f32 gather in 2 single-pass bf16 matmuls (the usual 3-pass
-    f32 decomposition loses its third term because the one-hot side has
-    no low part)."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
 
 
 def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Static device-side data
+# ---------------------------------------------------------------------------
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["planes"],
-    meta_fields=["num_steps", "n_blocks", "ch", "num_nodes", "space"],
+    meta_fields=["num_steps", "n_blocks", "ch", "num_nodes", "space", "one_d"],
 )
 @dataclass(frozen=True)
 class PallasSgdData:
     """Device-resident step planes for the strata kernel (pytree).
 
-    planes: i32 (4, PR, 128) — [pos, pos_end, handle, path_id] in TRUE step
-        order (row r lane l = step r*128+l), with the tail region past S
-        carrying path_id = -1 so window portions past the end mask out via
-        the same path compare that masks cross-path pairs (no modular
-        arithmetic anywhere; windows starting near S simply yield fewer
-        valid pairs, like windows at path boundaries).  This flattening is
-        the `element_array` model of the CUDA port (reference:
+    planes: i32 (4, PR, 128) — [pos, pos_end, handle, path_id] in TRUE
+        step order (row r lane l = step r*128+l) for 2D; (3, PR, 128) —
+        [pos, handle, path_id] for 1D.  The tail region past S carries
+        path_id = -1 so window portions past the end mask out via the same
+        path compare that masks cross-path pairs, and handle = 2*num_nodes
+        (a dummy node one past the real ids) so pad slots fold into a
+        discarded accumulator row at merge time.  This flattening is the
+        `element_array` model of the CUDA port (reference:
         src/cuda/layout.cu:345-410) minus its per-element path
         back-pointers, which the window construction makes redundant.
+
+    ch: node-layout lane count NL — node/endpoint index idx maps to
+        (sublane idx & 127, lane idx >> 7) of a (128, NL) array (2D packs
+        x and y halves side by side as (128, 2*NL)).
     """
 
     planes: jnp.ndarray
     num_steps: int
     n_blocks: int   # valid 128-aligned window start blocks (= ceil(S/128))
-    ch: int         # coordinate sublane rows (= ceil(2N/128) padded to 8)
+    ch: int         # node-layout lanes NL (see above)
     num_nodes: int
     space: int
+    one_d: bool = False
 
     @staticmethod
-    def build_cached(g, space: int) -> "PallasSgdData":
-        """Per-(graph, space) cache: GraphTensors are immutable, and the
-        plane build + device transfer (~35 ms on DRB1) would otherwise be
-        paid on every dispatch."""
-        key = (id(g), space, RC)
+    def build_cached(g, space: int, one_d: bool = False) -> "PallasSgdData":
+        """Per-(graph, space, dim) cache: GraphTensors are immutable, and
+        the plane build + device transfer would otherwise be paid on every
+        dispatch."""
+        key = (id(g), space, RC, one_d)
         hit = _DATA_CACHE.get(key)
         if hit is not None and hit[0] is g:
             return hit[1]
-        d = PallasSgdData.build(g, space)
+        d = PallasSgdData.build(g, space, one_d)
         _DATA_CACHE[key] = (g, d)
         while len(_DATA_CACHE) > 4:
             _DATA_CACHE.pop(next(iter(_DATA_CACHE)))
         return d
 
     @staticmethod
-    def build(g, space: int) -> "PallasSgdData":
+    def build(g, space: int, one_d: bool = False) -> "PallasSgdData":
         S = g.num_steps
         handle = g.step_handle.astype(np.int64)
         node = handle >> 1
         pos = g.step_pos.astype(np.int64)
-        pos_end = pos + g.node_len[node]
         path_id = g.step_path.astype(np.int64)
 
-        pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, RC * LANE)
-        pl4 = np.zeros((4, pad), np.int32)
-        pl4[_PATH] = -1
-        pl4[_POS, :S] = pos
-        pl4[_POSEND, :S] = pos_end
-        pl4[_HANDLE, :S] = handle
-        pl4[_PATH, :S] = path_id
-
-        ch = _pad_to(max(-(-2 * g.num_nodes // LANE), 1), 8)
+        pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, TR * LANE)
+        np_planes = 3 if one_d else 4
+        pl4 = np.zeros((np_planes, pad), np.int32)
+        if one_d:
+            pl4[_P1_PATH] = -1
+            pl4[_P1_HANDLE] = 2 * g.num_nodes
+            pl4[_P1_POS, :S] = pos
+            pl4[_P1_HANDLE, :S] = handle
+            pl4[_P1_PATH, :S] = path_id
+            idx_count = g.num_nodes + 1
+        else:
+            pl4[_PATH] = -1
+            pl4[_HANDLE] = 2 * g.num_nodes
+            pl4[_POS, :S] = pos
+            pl4[_POSEND, :S] = pos + g.node_len[node]
+            pl4[_HANDLE, :S] = handle
+            pl4[_PATH, :S] = path_id
+            idx_count = 2 * g.num_nodes + 2
+        ch = _pad_to(max(-(-idx_count // LANE), 1), 8)
         return PallasSgdData(
-            planes=jnp.asarray(pl4.reshape(4, pad // LANE, LANE)),
+            planes=jnp.asarray(pl4.reshape(np_planes, pad // LANE, LANE)),
             num_steps=S,
             n_blocks=max(1, -(-S // LANE)),
             ch=ch,
             num_nodes=g.num_nodes,
             space=space,
+            one_d=one_d,
         )
 
 
-def coords_to_planes(coords: np.ndarray, ch: int) -> np.ndarray:
-    """(2N, 2) f32 -> (ch, 256) plane layout (x lanes 0:128, y 128:256)."""
+# Node-layout packing helpers -----------------------------------------------
+
+
+def coords_to_node_array(coords: np.ndarray, nl: int) -> np.ndarray:
+    """(2N, 2) f32 -> (128, 2*NL) node array (x lanes 0:NL, y NL:2NL);
+    endpoint idx at (idx & 127, idx >> 7)."""
     m = coords.shape[0]
-    x = np.zeros(ch * LANE, np.float32)
-    y = np.zeros(ch * LANE, np.float32)
+    x = np.zeros(128 * nl, np.float32)
+    y = np.zeros(128 * nl, np.float32)
+    # flat layout: idx = lane * 128 + sublane  <=>  arr[idx & 127, idx >> 7]
     x[:m] = coords[:, 0]
     y[:m] = coords[:, 1]
-    return np.concatenate([x.reshape(ch, LANE), y.reshape(ch, LANE)], axis=1)
+    x = x.reshape(nl, 128).T  # (128, NL)
+    y = y.reshape(nl, 128).T
+    return np.concatenate([x, y], axis=1)
 
 
-def planes_to_coords(planes: np.ndarray, m: int) -> np.ndarray:
-    x = np.asarray(planes[:, :LANE]).reshape(-1)[:m]
-    y = np.asarray(planes[:, LANE:]).reshape(-1)[:m]
+def node_array_to_coords(arr: np.ndarray, m: int, nl: int) -> np.ndarray:
+    x = np.asarray(arr[:, :nl]).T.reshape(-1)[:m]
+    y = np.asarray(arr[:, nl:]).T.reshape(-1)[:m]
     return np.stack([x, y], axis=1)
+
+
+def x_to_node_array(x: np.ndarray, nl: int) -> np.ndarray:
+    m = x.shape[0]
+    buf = np.zeros(128 * nl, np.float32)
+    buf[:m] = x
+    return buf.reshape(nl, 128).T  # (128, NL)
+
+
+def node_array_to_x(arr: np.ndarray, m: int) -> np.ndarray:
+    return np.asarray(arr).T.reshape(-1)[:m]
+
+
+def _recip_r(g, nl: int, one_d: bool) -> np.ndarray:
+    """(128, NL) or (128, 2*NL) static 1/R divisor (R = per-node step
+    count — the replica count feeding each endpoint's consensus mean).
+    Zero rows for step-less nodes and the dummy pad node keep them
+    frozen."""
+    node = (g.step_handle >> 1).astype(np.int64)
+    r = np.bincount(node, minlength=g.num_nodes).astype(np.float64)
+    if one_d:
+        idx_count = g.num_nodes
+        rr = r
+    else:
+        idx_count = 2 * g.num_nodes
+        rr = np.repeat(r, 2)
+    buf = np.zeros(128 * nl, np.float32)
+    with np.errstate(divide="ignore"):
+        buf[:idx_count] = np.where(rr > 0, 1.0 / np.maximum(rr, 1), 0.0)
+    out = buf.reshape(nl, 128).T  # (128, NL)
+    if one_d:
+        return out
+    return np.concatenate([out, out], axis=1)
+
+
+def _step_coord_planes(g, coords: np.ndarray) -> np.ndarray:
+    """(2N,2) f32 -> (4, PR*128) f32 replica planes [xf, xr, yf, yr]:
+    the coin-0 ("forward") replica holds endpoint 2*node + orient and the
+    coin-1 replica its complement (the orientation fix-up of
+    layout.cu:251-281 folded into the plane layout)."""
+    S = g.num_steps
+    node = (g.step_handle >> 1).astype(np.int64)
+    orient = (g.step_handle & 1).astype(np.int64)
+    epf = 2 * node + orient
+    epr = epf ^ 1
+    c = np.asarray(coords, np.float32)
+    out = np.zeros((4, S), np.float32)
+    out[0] = c[epf, 0]
+    out[1] = c[epr, 0]
+    out[2] = c[epf, 1]
+    out[3] = c[epr, 1]
+    return out
+
+
+def _step_x_plane(g, x: np.ndarray) -> np.ndarray:
+    S = g.num_steps
+    node = (g.step_handle >> 1).astype(np.int64)
+    return np.asarray(x, np.float32)[node][:S]
+
+
+def _pad_planes(vals: np.ndarray, pr: int) -> np.ndarray:
+    """(k, S) -> (k, PR, 128) zero-padded f32."""
+    k, S = vals.shape
+    buf = np.zeros((k, pr * LANE), np.float32)
+    buf[:, :S] = vals
+    return buf.reshape(k, pr, LANE)
+
+
+# ---------------------------------------------------------------------------
+# Host-side chunk scalars (window offset, jump distance, learning rate)
+# ---------------------------------------------------------------------------
 
 
 def _zeta_consts(cfg, space: int):
@@ -232,7 +335,10 @@ def _host_chunk_scalars(cfg, data: "PallasSgdData", nch: int,
     src/cuda/layout.cu:89-113, path_sgd.cpp:124-138) with probability 1/2
     before cooling, else uniform in [1, space); after cooling always Zipf
     (2D cools at iter >= first_cooling — layout_main.cpp via cooling_start;
-    1D strictly after — path_sgd.cpp:194)."""
+    1D strictly after — path_sgd.cpp:194).
+
+    `nch * num_batches` is the chunk count per ITERATION (the merge-group
+    subdivision does not affect these streams)."""
     key = (cfg, data.n_blocks, int(data.space), nch, num_batches, one_d)
     hit = _SCALAR_CACHE.get(key)
     if hit is not None:
@@ -262,46 +368,88 @@ def _host_chunk_scalars(cfg, data: "PallasSgdData", nch: int,
     cooling = (it > fc) if one_d else (it >= fc)
     d_arr = np.where(cooling | (coin > 0), d_zipf, d_unif).astype(np.int32)
     eta_arr = _eta_schedule(cfg)[it].astype(np.float32)
-    out = (jnp.asarray(o_blk), jnp.asarray(d_arr), jnp.asarray(eta_arr))
+    out = (o_blk, d_arr, eta_arr)
     _SCALAR_CACHE[key] = out
     while len(_SCALAR_CACHE) > 8:
         _SCALAR_CACHE.pop(next(iter(_SCALAR_CACHE)))
     return out
 
 
-def _window_slices(planes_ref, o_blk, D):
-    """A/B window slices for all four planes.  A is row-aligned at o_blk;
-    B is the same window shifted by D steps, realized as a dynamic
-    sublane slice plus a lane-rotate by D mod 128."""
-    r0 = o_blk + jax.lax.shift_right_logical(D, 7)
-    c_sh = jnp.bitwise_and(D, LANE - 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RC, LANE), 1)
-    keep = lane < (LANE - c_sh)
+def _count_valid(g, data: "PallasSgdData", o_blk: np.ndarray,
+                 d_arr: np.ndarray) -> int:
+    """Exact number of VALID pairs across all chunks: pair (s, s+D) is
+    valid iff both sides lie in the same path (path boundaries counted via
+    a cumulative boundary trick).  Used for honest pairs/s accounting and
+    for compensating the batch count so effective valid updates meet the
+    reference's min_term_updates contract (reference: path_sgd.cpp:
+    161-203 counts every term; our masked window pairs do not update)."""
+    S = data.num_steps
+    pr = data.planes.shape[1]
+    pf = np.full(pr * LANE + 1, -1, np.int64)
+    pf[:S] = g.step_path
+    bnd = np.zeros(pr * LANE + 1, np.int64)
+    bnd[1:] = np.cumsum(pf[1:] != pf[:-1])
+    total = 0
+    i_pair = np.arange(CHUNK, dtype=np.int64)
+    blk = 4096
+    for c0 in range(0, len(o_blk), blk):
+        o = o_blk[c0 : c0 + blk].astype(np.int64) * LANE
+        d = d_arr[c0 : c0 + blk].astype(np.int64)
+        a = o[:, None] + i_pair[None, :]
+        b = a + d[:, None]
+        ok = (bnd[a] == bnd[b]) & (pf[a] >= 0)
+        total += int(ok.sum())
+    return total
 
-    def slice_a(p):
-        return planes_ref[p, pl.ds(o_blk, RC), :]
 
-    def slice_b(p):
-        rows = planes_ref[p, pl.ds(r0, 2 * RC), :]
-        r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=1)
-        return jnp.where(keep, r1[0:RC], r1[1 : RC + 1])
+def plan_run(g, cfg, one_d: bool = False) -> dict:
+    """The single source of truth for the Pallas dispatch geometry AND the
+    benchmark's work accounting (so they cannot diverge): chunks per
+    iteration, merge groups, exact slot and valid-pair counts.
 
-    return slice_a, slice_b
+    The chunk count per iteration is compensated upward by the measured
+    valid-pair fraction so that VALID updates per iteration >= the
+    reference's min_term_updates contract."""
+    data = PallasSgdData.build_cached(g, int(cfg.space), one_d)
+    nch0 = max(1, -(-cfg.min_term_updates // CHUNK))
+    o_blk, d_arr, _ = _host_chunk_scalars(cfg, data, nch0, 1, one_d)
+    valid0 = _count_valid(g, data, o_blk, d_arr)
+    frac = max(valid0 / max(len(o_blk) * CHUNK, 1), 0.05)
+    cpi = max(1, -(-cfg.min_term_updates // int(CHUNK * frac)))
+    mpi = max(1, min(MERGES_PER_ITER, cpi))
+    cpi = _pad_to(cpi, mpi)
+    o_blk, d_arr, eta_arr = _host_chunk_scalars(cfg, data, cpi, 1, one_d)
+    valid = _count_valid(g, data, o_blk, d_arr)
+    return dict(
+        data=data,
+        cpi=cpi,                      # chunks per iteration
+        cgs=cpi // mpi,               # chunks per merge group
+        groups=cfg.iter_max * mpi,    # total merge groups
+        o_blk=o_blk,
+        d_arr=d_arr,
+        eta_arr=eta_arr,
+        total_slots=cfg.iter_max * cpi * CHUNK,
+        total_valid=valid,
+        valid_frac=valid / max(cfg.iter_max * cpi * CHUNK, 1),
+    )
 
 
-def _onehot3(idx, kk, dt):
-    """(2*RC, LANE) indices -> (2*RC, LANE, kk) one-hot, built in 3D so the
-    collapse to (2*CHUNK, kk) is a Mosaic-supported relayout (a direct
-    (2*RC, LANE) -> (2*CHUNK, 1) reshape is not lowerable)."""
-    io = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
-    return (idx[:, :, None] == io).astype(dt)
+def pairs_per_run(g, cfg, one_d: bool = False) -> dict:
+    """Public accounting helper for bench.py: {'slots', 'valid'} for the
+    exact dispatch the kernel will execute (see plan_run)."""
+    p = plan_run(g, cfg, one_d)
+    return {"slots": p["total_slots"], "valid": p["total_valid"]}
+
+
+# ---------------------------------------------------------------------------
+# Kernel building blocks
+# ---------------------------------------------------------------------------
 
 
 def _pair_coins(gchunk):
     """Two decorrelated coin planes (RC, LANE) i32 from a vectorized
-    splitmix-style hash of (gchunk, pair index).  Replaces
-    pltpu.prng_random_bits, whose per-draw cost profiled at ~2 us/chunk;
-    the hash is ~8 VPU passes.  Only bit 0 of each word is consumed."""
+    splitmix-style hash of (gchunk, pair index).  Only bit 0 of each word
+    is consumed (endpoint coins; reference: layout.cu:251-281)."""
     iota = jax.lax.broadcasted_iota(
         jnp.int32, (2, RC, LANE), 1
     ) * LANE + jax.lax.broadcasted_iota(jnp.int32, (2, RC, LANE), 2)
@@ -313,188 +461,400 @@ def _pair_coins(gchunk):
     return h
 
 
-def _chunk_acc(ch, o_blk, D, eta_lr, planes_ref, co, coins):
-    """One chunk of CHUNK pair updates: returns the (ch, 3*LANE) dense
-    [dx_sum | dy_sum | count] accumulator."""
-    w0, w1 = coins[0], coins[1]
-    slice_a, slice_b = _window_slices(planes_ref, o_blk, D)
+def _read_a(ref, p, o_blk):
+    return ref[p, pl.ds(o_blk, RC), :]
 
-    pos_a0 = slice_a(_POS)
-    pos_a1 = slice_a(_POSEND)
-    handle_a = slice_a(_HANDLE)
-    path_a = slice_a(_PATH)
-    pos_b0 = slice_b(_POS)
-    pos_b1 = slice_b(_POSEND)
-    handle_b = slice_b(_HANDLE)
-    path_b = slice_b(_PATH)
-    # pad slots carry path -1 on BOTH sides; -1 == -1 must NOT pair
-    valid = jnp.logical_and(path_a == path_b, path_a >= 0)
 
-    # endpoint choice with orientation fix-up (layout.cu:251-281)
-    ca = w0 & 1
-    cb = w1 & 1
-    pos_a = jnp.where(ca > 0, pos_a1, pos_a0).astype(jnp.float32)
-    pos_b = jnp.where(cb > 0, pos_b1, pos_b0).astype(jnp.float32)
-    ep_a = 2 * (handle_a >> 1) + ((handle_a & 1) ^ ca)
-    ep_b = 2 * (handle_b >> 1) + ((handle_b & 1) ^ cb)
-    vf = valid.astype(jnp.float32)
+def _read_b(ref, p, r0, c_sh, keep):
+    """B-window read: 2*RC rows at r0 (8-row-multiple windows lower far
+    better in Mosaic than RC+1), lane-rotate by -c_sh, row-blend."""
+    rows = ref[p, pl.ds(r0, 2 * RC), :]
+    r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=1)
+    return jnp.where(keep, r1[0:RC], r1[1 : RC + 1])
 
-    ep_ab = jnp.concatenate([ep_a, ep_b], axis=0)
-    e_hi3 = _onehot3(ep_ab >> 7, ch, jnp.float32)
-    e_hi = e_hi3.reshape(2 * CHUNK, ch)
-    e_lo = _onehot3(ep_ab & (LANE - 1), LANE, jnp.float32).reshape(
-        2 * CHUNK, LANE
-    )
 
-    if "nogather" in _ABLATE:
-        xa = pos_a * 1e-3
-        ya = pos_b * 1e-3
-        xb = pos_b * 1e-3
-        yb = pos_a * 1e-3
-    else:
-        co_h, co_l = _split_bf16(co)
-        e_hi_b = e_hi.astype(jnp.bfloat16)
-        gab = jnp.dot(e_hi_b, co_h, preferred_element_type=jnp.float32)
-        gab = gab + jnp.dot(e_hi_b, co_l, preferred_element_type=jnp.float32)
-        x_ab = jnp.sum(
-            gab[:, :LANE] * e_lo, axis=1, keepdims=True
-        ).reshape(2 * RC, LANE)
-        y_ab = jnp.sum(
-            gab[:, LANE:] * e_lo, axis=1, keepdims=True
-        ).reshape(2 * RC, LANE)
-        xa, xb = x_ab[:RC], x_ab[RC:]
-        ya, yb = y_ab[:RC], y_ab[RC:]
+def _rmw_a(ref, p, o_blk, v):
+    ref[p, pl.ds(o_blk, RC), :] = ref[p, pl.ds(o_blk, RC), :] + v
 
-    # update math (reference: src/cuda/layout.cu:141-188)
-    term = jnp.maximum(jnp.abs(pos_a - pos_b), 1e-9)
+
+def _rmw_b(ref, p, r0, c_sh, lane2, v):
+    """B-window scatter-add: inverse of _read_b (rotate by +c_sh, split
+    the wrapped lanes into the next row).  2*RC-row window (see _read_b);
+    rows RC+1.. add zero."""
+    rot = pltpu.roll(v, c_sh, axis=1)
+    z = jnp.zeros((RC - 1, LANE), jnp.float32)
+    z1 = jnp.zeros((1, LANE), jnp.float32)
+    top = jnp.concatenate([rot, z1, z], axis=0)
+    bot = jnp.concatenate([z1, rot, z], axis=0)
+    # pair slot (r, l) targets row r0+r+(l+c_sh >= 128), lane (l+c_sh)&127:
+    # unwrapped lanes (>= c_sh) come from the same rotated row (top),
+    # wrapped lanes (< c_sh) from the previous one (bot)
+    contrib = jnp.where(lane2 >= c_sh, top, bot)
+    ref[p, pl.ds(r0, 2 * RC), :] = ref[p, pl.ds(r0, 2 * RC), :] + contrib
+
+
+def _chunk_2d(planes_ref, cp_ref, o_blk, D, eta_lr, gchunk_global):
+    """One chunk of CHUNK pair updates, replica style: contiguous reads,
+    ~40 VPU ops, contiguous RMW writes.  Update math: layout.cu:141-188."""
+    r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+    c_sh = jnp.bitwise_and(D, LANE - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RC, LANE), 1)
+    keep = lane < (LANE - c_sh)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * RC, LANE), 1)
+
+    pa0 = _read_a(planes_ref, _POS, o_blk)
+    pa1 = _read_a(planes_ref, _POSEND, o_blk)
+    patha = _read_a(planes_ref, _PATH, o_blk)
+    pb0 = _read_b(planes_ref, _POS, r0, c_sh, keep)
+    pb1 = _read_b(planes_ref, _POSEND, r0, c_sh, keep)
+    pathb = _read_b(planes_ref, _PATH, r0, c_sh, keep)
+    xfa = _read_a(cp_ref, 0, o_blk)
+    xra = _read_a(cp_ref, 1, o_blk)
+    yfa = _read_a(cp_ref, 2, o_blk)
+    yra = _read_a(cp_ref, 3, o_blk)
+    xfb = _read_b(cp_ref, 0, r0, c_sh, keep)
+    xrb = _read_b(cp_ref, 1, r0, c_sh, keep)
+    yfb = _read_b(cp_ref, 2, r0, c_sh, keep)
+    yrb = _read_b(cp_ref, 3, r0, c_sh, keep)
+
+    coins = _pair_coins(gchunk_global * 1000003 + 0)
+    ca = coins[0] & 1
+    cb = coins[1] & 1
+    caf = ca == 0
+    cbf = cb == 0
+
+    pos_a = jnp.where(caf, pa0, pa1)
+    pos_b = jnp.where(cbf, pb0, pb1)
+    xa = jnp.where(caf, xfa, xra)
+    ya = jnp.where(caf, yfa, yra)
+    xb = jnp.where(cbf, xfb, xrb)
+    yb = jnp.where(cbf, yfb, yrb)
+    valid = jnp.logical_and(patha == pathb, patha >= 0)
+
+    term = jnp.maximum(jnp.abs(pos_a - pos_b).astype(jnp.float32), 1e-9)
     mu = jnp.minimum(eta_lr / term, 1.0)
     dx = xa - xb
     dx = jnp.where(dx == 0.0, 1e-9, dx)
     dy = ya - yb
     mag = jnp.sqrt(dx * dx + dy * dy)
-    delta = mu * (mag - term) / 2.0
+    delta = mu * (mag - term) * 0.5
     r = jnp.where(valid, delta / mag, 0.0)
     rx = r * dx
     ry = r * dy
 
-    if "noscatter" in _ABLATE:
-        s = jnp.sum(rx) + jnp.sum(ry)
-        return jnp.full((ch, 3 * LANE), 1e-30, jnp.float32) * s
+    zero = jnp.zeros_like(rx)
+    if "noarmw" not in _ABLATE:
+        _rmw_a(cp_ref, 0, o_blk, jnp.where(caf, -rx, zero))
+        _rmw_a(cp_ref, 1, o_blk, jnp.where(caf, zero, -rx))
+        _rmw_a(cp_ref, 2, o_blk, jnp.where(caf, -ry, zero))
+        _rmw_a(cp_ref, 3, o_blk, jnp.where(caf, zero, -ry))
+    if "nobrmw" not in _ABLATE:
+        _rmw_b(cp_ref, 0, r0, c_sh, lane2, jnp.where(cbf, rx, zero))
+        _rmw_b(cp_ref, 1, r0, c_sh, lane2, jnp.where(cbf, zero, rx))
+        _rmw_b(cp_ref, 2, r0, c_sh, lane2, jnp.where(cbf, ry, zero))
+        _rmw_b(cp_ref, 3, r0, c_sh, lane2, jnp.where(cbf, zero, ry))
 
-    # value-folded scatter: fold rx/ry/count into the HI one-hot (ch wide,
-    # cheaper than spreading over the 128-wide LO side), then bf16
-    # matmuls against e_lo yield the three (ch, LANE) accumulator panes.
-    rxx = jnp.concatenate([-rx, rx], axis=0)[:, :, None]
-    ryy = jnp.concatenate([-ry, ry], axis=0)[:, :, None]
-    vv = jnp.concatenate([vf, vf], axis=0)[:, :, None]
-    e_lo_b = e_lo.astype(jnp.bfloat16)
-    if "foldcat" in _ABLATE:
-        hcat = jnp.concatenate(
-            [e_hi3 * rxx, e_hi3 * ryy, e_hi3 * vv], axis=2
-        ).reshape(2 * CHUNK, 3 * ch)
-        accT = jax.lax.dot_general(
-            hcat.astype(jnp.bfloat16),
-            e_lo_b,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+
+def _chunk_1d(planes_ref, cp_ref, o_blk, D, eta_lr):
+    """1D strata chunk on per-step X replicas (reference:
+    path_sgd.cpp:304-396 for the update math)."""
+    r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+    c_sh = jnp.bitwise_and(D, LANE - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RC, LANE), 1)
+    keep = lane < (LANE - c_sh)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * RC, LANE), 1)
+
+    pa = _read_a(planes_ref, _P1_POS, o_blk)
+    patha = _read_a(planes_ref, _P1_PATH, o_blk)
+    pb = _read_b(planes_ref, _P1_POS, r0, c_sh, keep)
+    pathb = _read_b(planes_ref, _P1_PATH, r0, c_sh, keep)
+    xa = _read_a(cp_ref, 0, o_blk)
+    xb = _read_b(cp_ref, 0, r0, c_sh, keep)
+
+    di = pa - pb
+    valid = jnp.logical_and(
+        jnp.logical_and(patha == pathb, patha >= 0), di != 0
+    )
+    term = jnp.abs(di).astype(jnp.float32)
+    w = 1.0 / jnp.maximum(term, 1e-30)
+    mu = jnp.minimum(eta_lr * w, 1.0)
+    dx = xa - xb
+    dx = jnp.where(dx == 0.0, 1e-9, dx)
+    mag = jnp.abs(dx)
+    delta = mu * (mag - term) * 0.5
+    rr = jnp.where(valid, delta / mag * dx, 0.0)
+
+    _rmw_a(cp_ref, 0, o_blk, -rr)
+    _rmw_b(cp_ref, 0, r0, c_sh, lane2, rr)
+
+
+# Consensus merge ------------------------------------------------------------
+
+
+def _merge_tiles_2d(planes_ref, cp_ref, base_ref, out_ref, acc_ref,
+                    recip_ref, n_tiles: int, nl: int):
+    """Consensus: out += sum_steps(cp - base) / R per endpoint, then
+    broadcast the update back into cp and base.  Factored one-hot matmuls
+    over the step table; endpoint idx -> (sublane idx & 127, lane
+    idx >> 7) of the (128, 2*NL) node array."""
+    iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
+    iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
+
+    def onehots(t):
+        r = t * TR
+        h = planes_ref[_HANDLE, pl.ds(r, TR), :]
+        epf = 2 * jax.lax.shift_right_logical(h, 1) + (h & 1)
+        hi = jax.lax.shift_right_logical(epf, 7)
+        lof = epf & (LANE - 1)
+        e_hi = (hi[:, :, None] == iota_nl).astype(jnp.float32)
+        e_lo_f = (
+            (lof[:, :, None] == iota_128)
+            .astype(jnp.float32)
+            .reshape(TR * LANE, LANE)
+            .astype(jnp.bfloat16)
+        )
+        e_lo_r = (
+            ((lof ^ 1)[:, :, None] == iota_128)
+            .astype(jnp.float32)
+            .reshape(TR * LANE, LANE)
+            .astype(jnp.bfloat16)
+        )
+        return r, e_hi, e_lo_f, e_lo_r
+
+    def scatter_body(t, _):
+        r, e_hi, e_lo_f, e_lo_r = onehots(t)
+        ds = pl.ds(r, TR)
+
+        def piece(p):
+            # fold in f32 (Mosaic can't minor-dim-broadcast bf16); cast to
+            # bf16 only after the leading-dim-collapse reshape
+            v = cp_ref[p, ds, :] - base_ref[p, ds, :]
+            return e_hi * v[:, :, None]
+
+        pf = jnp.concatenate([piece(0), piece(2)], axis=2).reshape(
+            TR * LANE, 2 * nl
+        ).astype(jnp.bfloat16)
+        pr_ = jnp.concatenate([piece(1), piece(3)], axis=2).reshape(
+            TR * LANE, 2 * nl
+        ).astype(jnp.bfloat16)
+        accf = jax.lax.dot_general(
+            e_lo_f, pf, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return jnp.concatenate(
-            [accT[0:ch], accT[ch : 2 * ch], accT[2 * ch : 3 * ch]], axis=1
-        )
-
-    def sc(v3):
-        piece = (e_hi3 * v3).reshape(2 * CHUNK, ch).astype(jnp.bfloat16)
-        return jax.lax.dot_general(
-            piece,
-            e_lo_b,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+        accr = jax.lax.dot_general(
+            e_lo_r, pr_, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        acc_ref[:] = acc_ref[:] + accf + accr
+        return 0
 
-    return jnp.concatenate([sc(rxx), sc(ryy), sc(vv)], axis=1)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    jax.lax.fori_loop(0, n_tiles, scatter_body, 0)
+    upd = acc_ref[:] * recip_ref[:]
+    out_ref[:] = out_ref[:] + upd
+    upd_b = upd.astype(jnp.bfloat16)
+
+    def bcast_body(t, _):
+        r, e_hi, e_lo_f, e_lo_r = onehots(t)
+        ds = pl.ds(r, TR)
+        t1f = jnp.dot(e_lo_f, upd_b, preferred_element_type=jnp.float32)
+        t1r = jnp.dot(e_lo_r, upd_b, preferred_element_type=jnp.float32)
+        t1f = t1f.reshape(TR, LANE, 2 * nl)
+        t1r = t1r.reshape(TR, LANE, 2 * nl)
+        vxf = jnp.sum(t1f[:, :, :nl] * e_hi, axis=2)
+        vyf = jnp.sum(t1f[:, :, nl:] * e_hi, axis=2)
+        vxr = jnp.sum(t1r[:, :, :nl] * e_hi, axis=2)
+        vyr = jnp.sum(t1r[:, :, nl:] * e_hi, axis=2)
+        # consensus collapse: base stays the exact broadcast of the node
+        # coords by induction (base' = base + upd), and the replicas reset
+        # to consensus (cp' = base') so per-slot drift restarts from zero
+        for p, v in ((0, vxf), (1, vxr), (2, vyf), (3, vyr)):
+            nb = base_ref[p, ds, :] + v
+            base_ref[p, ds, :] = nb
+            cp_ref[p, ds, :] = nb
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, bcast_body, 0)
 
 
-def _make_kernel(ch: int, nch: int, num_batches: int, seed: int):
-    """Mega-grid kernel: the whole run in one pallas_call.
+def _merge_tiles_1d(planes_ref, cp_ref, base_ref, out_ref, acc_ref,
+                    recip_ref, n_tiles: int, nl: int):
+    iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
+    iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
 
-    grid = (iter_max, num_batches, nch); scalar prefetch carries the
-    per-chunk (o, D, eta) host arrays."""
-
-    def kernel(o_ref, d_ref, e_ref, planes_ref, cin_ref, out_ref, acc_ref):
-        it = pl.program_id(0)
-        b = pl.program_id(1)
-        c = pl.program_id(2)
-        gchunk = (it * num_batches + b) * nch + c
-
-        @pl.when(gchunk == 0)
-        def _():
-            out_ref[:] = cin_ref[:]
-
-        @pl.when(c == 0)
-        def _():
-            acc_ref[:] = jnp.zeros((ch, 3 * LANE), jnp.float32)
-
-        coins = _pair_coins(gchunk * 1000003 + seed)
-        acc = _chunk_acc(
-            ch, o_ref[gchunk], d_ref[gchunk], e_ref[gchunk],
-            planes_ref, out_ref[:], coins,
+    def onehots(t):
+        r = t * TR
+        h = planes_ref[_P1_HANDLE, pl.ds(r, TR), :]
+        nd = jax.lax.shift_right_logical(h, 1)
+        hi = jax.lax.shift_right_logical(nd, 7)
+        lo = nd & (LANE - 1)
+        e_hi = (hi[:, :, None] == iota_nl).astype(jnp.float32)
+        e_lo = (
+            (lo[:, :, None] == iota_128)
+            .astype(jnp.float32)
+            .reshape(TR * LANE, LANE)
+            .astype(jnp.bfloat16)
         )
-        acc_ref[:] = acc_ref[:] + acc
+        return r, e_hi, e_lo
 
-        # batch boundary: apply the per-endpoint mean merge
-        @pl.when(c == nch - 1)
+    def scatter_body(t, _):
+        r, e_hi, e_lo = onehots(t)
+        ds = pl.ds(r, TR)
+        v = cp_ref[0, ds, :] - base_ref[0, ds, :]
+        piece = (e_hi * v[:, :, None]).reshape(TR * LANE, nl).astype(
+            jnp.bfloat16
+        )
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            e_lo, piece, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    jax.lax.fori_loop(0, n_tiles, scatter_body, 0)
+    upd = acc_ref[:] * recip_ref[:]
+    out_ref[:] = out_ref[:] + upd
+    upd_b = upd.astype(jnp.bfloat16)
+
+    def bcast_body(t, _):
+        r, e_hi, e_lo = onehots(t)
+        ds = pl.ds(r, TR)
+        t1 = jnp.dot(e_lo, upd_b, preferred_element_type=jnp.float32)
+        v = jnp.sum(t1.reshape(TR, LANE, nl) * e_hi, axis=2)
+        nb = base_ref[0, ds, :] + v
+        base_ref[0, ds, :] = nb
+        cp_ref[0, ds, :] = nb
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, bcast_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Kernels and dispatch
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_2d(cgs: int, n_tiles: int, nl: int):
+    """grid = (merge groups,); one grid step = cgs chunks + one consensus
+    merge.  Scalar prefetch: meta [gchunk_base, seed], o/D/eta arrays."""
+
+    def kernel(meta_ref, o_ref, d_ref, e_ref, planes_ref, cp0_ref, xy_ref,
+               recip_ref, out_ref, cp_sc, base_sc, acc_sc):
+        gid = pl.program_id(0)
+
+        @pl.when(gid == 0)
         def _():
-            cnt = jnp.maximum(acc_ref[:, 2 * LANE :], 1.0)
-            upd = acc_ref[:, : 2 * LANE] / jnp.concatenate([cnt, cnt], axis=1)
-            out_ref[:] = out_ref[:] + upd
+            cp_sc[:] = cp0_ref[:]
+            base_sc[:] = cp0_ref[:]
+            out_ref[:] = xy_ref[:]
+
+        def body(c, _):
+            gl = gid * cgs + c
+            _chunk_2d(
+                planes_ref, cp_sc, o_ref[gl], d_ref[gl], e_ref[gl],
+                meta_ref[0] + gl,
+            )
+            return 0
+
+        if "nochunks" not in _ABLATE:
+            jax.lax.fori_loop(0, cgs, body, 0)
+        if "nomerge" not in _ABLATE:
+            _merge_tiles_2d(
+                planes_ref, cp_sc, base_sc, out_ref, acc_sc, recip_ref,
+                n_tiles, nl,
+            )
+
+    return kernel
+
+
+def _make_kernel_1d(cgs: int, n_tiles: int, nl: int):
+    def kernel(meta_ref, o_ref, d_ref, e_ref, planes_ref, cp0_ref, x_ref,
+               recip_ref, out_ref, cp_sc, base_sc, acc_sc):
+        gid = pl.program_id(0)
+
+        @pl.when(gid == 0)
+        def _():
+            cp_sc[:] = cp0_ref[:]
+            base_sc[:] = cp0_ref[:]
+            out_ref[:] = x_ref[:]
+
+        def body(c, _):
+            gl = gid * cgs + c
+            _chunk_1d(planes_ref, cp_sc, o_ref[gl], d_ref[gl], e_ref[gl])
+            return 0
+
+        jax.lax.fori_loop(0, cgs, body, 0)
+        _merge_tiles_1d(
+            planes_ref, cp_sc, base_sc, out_ref, acc_sc, recip_ref,
+            n_tiles, nl,
+        )
 
     return kernel
 
 
 @partial(
     jax.jit,
-    static_argnames=("iter_max", "seed", "ch", "nch", "num_batches",
-                     "interpret"),
+    static_argnames=("groups", "cgs", "n_tiles", "nl", "one_d", "interpret"),
 )
-def _pallas_sgd_2d_call(
-    coords_planes, planes, o_arr, d_arr, eta_arr, iter_max: int, seed: int,
-    ch: int, nch: int, num_batches: int, interpret: bool,
-):
+def _pallas_call(meta, o_arr, d_arr, eta_arr, planes, cp0, xy0, recip,
+                 groups: int, cgs: int, n_tiles: int, nl: int,
+                 one_d: bool, interpret: bool):
+    np_planes = planes.shape[0]
     pr = planes.shape[1]
-    kernel = _make_kernel(ch, nch, num_batches, seed)
+    ncp = cp0.shape[0]
+    w = nl if one_d else 2 * nl
+    kernel = (_make_kernel_1d if one_d else _make_kernel_2d)(cgs, n_tiles, nl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(iter_max, num_batches, nch),
+        num_scalar_prefetch=4,
+        grid=(groups,),
         in_specs=[
             pl.BlockSpec(
-                (4, pr, LANE), lambda i, b, c, *_: (0, 0, 0),
+                (np_planes, pr, LANE), lambda i, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (ch, 2 * LANE), lambda i, b, c, *_: (0, 0),
+                (ncp, pr, LANE), lambda i, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (ch, 2 * LANE), lambda i, b, c, *_: (0, 0),
-            memory_space=pltpu.VMEM,
+            (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((ch, 3 * LANE), jnp.float32),
+            pltpu.VMEM((ncp, pr, LANE), jnp.float32),
+            pltpu.VMEM((ncp, pr, LANE), jnp.float32),
+            pltpu.VMEM((LANE, w), jnp.float32),
         ],
     )
+    vmem_need = (np_planes + 3 * ncp) * pr * LANE * 4 + 8 * LANE * w * 4
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ch, 2 * LANE), jnp.float32),
-        # the TPU-semantics interpreter (pltpu.prng_*, roll, ...) — plain
-        # interpret=True lacks lowerings for the TPU primitives
+        out_shape=jax.ShapeDtypeStruct((LANE, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_need + 24 * 1024 * 1024, 100 * 1024 * 1024),
+        ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(o_arr, d_arr, eta_arr, planes, coords_planes)
+    )(meta, o_arr, d_arr, eta_arr, planes, cp0, xy0, recip)
 
 
-def _num_batches(cfg, nch: int) -> int:
-    return max(1, -(-cfg.min_term_updates // (nch * CHUNK)))
+def _segments(groups: int, cgs: int):
+    """Split the run into dispatches of <= MAX_CHUNKS chunks at merge
+    group boundaries (results are split-invariant: the coin stream is
+    keyed by the global chunk index carried in the meta array)."""
+    gps = max(1, min(groups, MAX_CHUNKS // cgs))
+    segs = []
+    g0 = 0
+    while g0 < groups:
+        segs.append((g0, min(gps, groups - g0)))
+        g0 += gps
+    return segs
 
 
 def path_sgd_2d_pallas(
@@ -503,8 +863,7 @@ def path_sgd_2d_pallas(
     """Drop-in alternative to ops.sgd.path_sgd_2d on the Pallas fast path.
 
     Dispatched from ops.sgd.path_sgd_2d when cfg.pallas and
-    pallas_supported() hold; interpret-mode runs everywhere for tests.
-    """
+    pallas_supported() hold; interpret-mode runs everywhere for tests."""
     from .sgd import derive_config_2d
 
     if cfg is None:
@@ -513,307 +872,57 @@ def path_sgd_2d_pallas(
         return np.asarray(coords0, np.float64)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    data = PallasSgdData.build_cached(g, cfg.space)
-    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
-    nb = _num_batches(cfg, nch)
-    o_arr, d_arr, eta_arr = _host_chunk_scalars(cfg, data, nch, nb)
-    co = jnp.asarray(coords_to_planes(np.asarray(coords0, np.float32), data.ch))
+    p = plan_run(g, cfg, one_d=False)
+    data = p["data"]
+    nl = data.ch
+    pr = data.planes.shape[1]
+    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
     seed = int(cfg.seed) & 0x7FFFFFFF
-    # Segment long runs so each dispatch's SMEM prefetch arrays stay under
-    # MAX_CHUNKS; segments chain through the coordinate block, and the
-    # per-pair coin stream continues exactly because the hash consumes
-    # gchunk_local*1000003 + (seed + seg_start*1000003)
-    #   == gchunk_global*1000003 + seed  (mod 2^32).
-    per_iter = nb * nch
-    seg_iters = max(1, min(cfg.iter_max, MAX_CHUNKS // per_iter))
-    it0 = 0
-    while it0 < cfg.iter_max:
-        iters = min(seg_iters, cfg.iter_max - it0)
-        c0 = it0 * per_iter
-        c1 = (it0 + iters) * per_iter
-        seg_seed = (seed + c0 * 1000003) & 0x7FFFFFFF
-        co = _pallas_sgd_2d_call(
-            co,
-            data.planes,
+
+    cp0 = jnp.asarray(
+        _pad_planes(_step_coord_planes(g, coords0), pr)
+    )
+    xy = jnp.asarray(
+        coords_to_node_array(np.asarray(coords0, np.float32), nl)
+    )
+    recip = jnp.asarray(_recip_r(g, nl, one_d=False))
+    o_arr = jnp.asarray(p["o_blk"])
+    d_arr = jnp.asarray(p["d_arr"])
+    eta_arr = jnp.asarray(p["eta_arr"])
+
+    for g0, n_g in _segments(p["groups"], p["cgs"]):
+        c0 = g0 * p["cgs"]
+        c1 = (g0 + n_g) * p["cgs"]
+        meta = jnp.asarray([c0, seed], jnp.int32)
+        xy = _pallas_call(
+            meta,
             o_arr[c0:c1],
             d_arr[c0:c1],
             eta_arr[c0:c1],
-            iters,
-            seg_seed,
-            data.ch,
-            nch,
-            nb,
+            data.planes,
+            cp0,
+            xy,
+            recip,
+            n_g,
+            p["cgs"],
+            n_tiles,
+            nl,
+            False,
             bool(interpret),
         )
-        it0 += iters
-    return planes_to_coords(np.asarray(co), 2 * g.num_nodes).astype(np.float64)
+        if g0 + n_g < p["groups"]:
+            # replicas collapse to consensus at every merge (= segment)
+            # boundary, so rebuilding cp0 from the returned node coords is
+            # exact continuation, not an approximation
+            host_xy = node_array_to_coords(np.asarray(xy), 2 * g.num_nodes, nl)
+            cp0 = jnp.asarray(_pad_planes(_step_coord_planes(g, host_xy), pr))
+    return node_array_to_coords(
+        np.asarray(xy), 2 * g.num_nodes, nl
+    ).astype(np.float64)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("iter_max", "S", "space", "nch", "num_batches", "n2"),
-)
-def _strata_xla_run(coords, key, planes_flat, o_arr, d_arr, eta_arr,
-                    iter_max, S, space, nch, num_batches, n2):
-    """Pure-XLA reference of the strata kernel semantics: the SAME host
-    (o, D, eta) chunk scalars and the same window/mean-merge batching;
-    only the per-pair endpoint coins differ (threefry here, TPU core PRNG
-    in the kernel), so results agree statistically, not bitwise.
-    planes_flat: i32 (4, PAD) [pos, pos_end, handle, path]."""
-    tp, tpe, th, tpa = (planes_flat[i] for i in range(4))
-
-    def iter_body(it, coords):
-        key_it = jax.random.fold_in(key, it)
-
-        def batch_body(b, coords):
-            kb = jax.random.fold_in(key_it, b)
-            acc = jnp.zeros((n2, 3), jnp.float32)
-
-            def chunk_body(c, acc):
-                gchunk = (it * num_batches + b) * nch + c
-                kc = jax.random.fold_in(kb, c)
-                o = o_arr[gchunk] * LANE
-                D = d_arr[gchunk]
-                eta_lr = eta_arr[gchunk]
-                ia = o + jnp.arange(CHUNK, dtype=jnp.int32)
-                ib = ia + D
-                valid = jnp.logical_and(tpa[ia] == tpa[ib], tpa[ia] >= 0)
-                w = jax.random.bits(kc, (2, CHUNK), jnp.uint32)
-                ca = (w[0] & 1).astype(jnp.int32)
-                cb = (w[1] & 1).astype(jnp.int32)
-                ha, hb = th[ia], th[ib]
-                pos_a = jnp.where(ca > 0, tpe[ia], tp[ia]).astype(jnp.float32)
-                pos_b = jnp.where(cb > 0, tpe[ib], tp[ib]).astype(jnp.float32)
-                ep_a = 2 * (ha >> 1) + ((ha & 1) ^ ca)
-                ep_b = 2 * (hb >> 1) + ((hb & 1) ^ cb)
-                term = jnp.maximum(jnp.abs(pos_a - pos_b), 1e-9)
-                mu = jnp.minimum(eta_lr / term, 1.0)
-                d = coords[ep_a] - coords[ep_b]
-                dx = jnp.where(d[:, 0] == 0.0, 1e-9, d[:, 0])
-                dy = d[:, 1]
-                mag = jnp.sqrt(dx * dx + dy * dy)
-                delta = mu * (mag - term) / 2.0
-                r = jnp.where(valid, delta / mag, 0.0)
-                v = valid.astype(jnp.float32)
-                col_a = jnp.stack([-r * dx, -r * dy, v], 1)
-                col_b = jnp.stack([r * dx, r * dy, v], 1)
-                return acc.at[ep_a].add(col_a).at[ep_b].add(col_b)
-
-            acc = jax.lax.fori_loop(0, nch, chunk_body, acc)
-            return coords + acc[:, :2] / jnp.maximum(acc[:, 2], 1.0)[:, None]
-
-        return jax.lax.fori_loop(0, num_batches, batch_body, coords)
-
-    return jax.lax.fori_loop(0, iter_max, iter_body, coords)
-
-
-def path_sgd_2d_strata_xla(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
-    """XLA (any-backend) run of the strata sampling scheme; the semantic
-    reference for path_sgd_2d_pallas, exercised by the CPU test suite."""
-    from .sgd import derive_config_2d
-
-    if cfg is None:
-        cfg = derive_config_2d(g)
-    if not (g.path_step_count > 1).any():
-        return np.asarray(coords0, np.float64)
-    data = PallasSgdData.build(g, cfg.space)
-    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
-    nb = _num_batches(cfg, nch)
-    o_arr, d_arr, eta_arr = _host_chunk_scalars(cfg, data, nch, nb)
-    planes_flat = jnp.asarray(np.asarray(data.planes).reshape(4, -1))
-    out = _strata_xla_run(
-        jnp.asarray(np.asarray(coords0, np.float32)),
-        jax.random.key(cfg.seed),
-        planes_flat,
-        jnp.asarray(o_arr),
-        jnp.asarray(d_arr),
-        jnp.asarray(eta_arr),
-        int(cfg.iter_max),
-        data.num_steps,
-        int(data.space),
-        nch,
-        nb,
-        2 * g.num_nodes,
-    )
-    return np.asarray(out, np.float64)
-
-
-def pallas_supported(g, cfg) -> bool:
-    """Whether the fused kernel applies to this graph/config.
-
-    Requires: TPU backend, no delta early-stop (the kernel runs the full
-    schedule in one dispatch), VMEM-resident step planes and coordinates,
-    f32-exact positions (< 2^24), and prefetch scalar arrays within the
-    SMEM budget.
-    """
-    if jax.default_backend() not in ("tpu", "axon"):
-        return False
-    if cfg.delta > 0:
-        return False
-    S = g.num_steps
-    if S < CHUNK:
-        return False
-    max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
-    if max_pos >= 2**24 or 2 * g.num_nodes >= 2**24:
-        return False
-    space = int(cfg.space)
-    pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, RC * LANE)
-    ch = _pad_to(max(-(-2 * g.num_nodes // LANE), 1), 8)
-    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
-    nb = _num_batches(cfg, nch)
-    if nb * nch > MAX_CHUNKS:
-        return False  # a single iteration must fit one segmented dispatch
-    return 4 * pad * 4 < 7 * 1024 * 1024 and ch <= 512
-
-
-# ---------------------------------------------------------------------------
-# 1D variant: the `odgi sort -Y` hot loop (reference: path_sgd.cpp:12-464)
-# ---------------------------------------------------------------------------
-
-
-def _chunk_acc_1d(chn, o_blk, D, eta_lr, planes_ref, x_ref):
-    """1D strata chunk: like _chunk_acc but with per-NODE scalar positions
-    (X only) and no endpoint coins; returns the (chn, 2*LANE)
-    [dx_sum | count] accumulator.  Update math mirrors ops.sgd._update_1d
-    (reference: path_sgd.cpp:304-396)."""
-    slice_a, slice_b = _window_slices(planes_ref, o_blk, D)
-
-    pos_a = slice_a(_POS).astype(jnp.float32)
-    handle_a = slice_a(_HANDLE)
-    path_a = slice_a(_PATH)
-    pos_b = slice_b(_POS).astype(jnp.float32)
-    handle_b = slice_b(_HANDLE)
-    path_b = slice_b(_PATH)
-    term = jnp.abs(pos_a - pos_b)
-    valid = jnp.logical_and(
-        jnp.logical_and(path_a == path_b, path_a >= 0), term != 0.0
-    )
-    node_a = handle_a >> 1
-    node_b = handle_b >> 1
-    vf = valid.astype(jnp.float32)
-
-    nd_ab = jnp.concatenate([node_a, node_b], axis=0)
-    e_hi3 = _onehot3(nd_ab >> 7, chn, jnp.float32)
-    e_lo = _onehot3(nd_ab & (LANE - 1), LANE, jnp.float32).reshape(
-        2 * CHUNK, LANE
-    )
-
-    x_h, x_l = _split_bf16(x_ref)
-    e_hi_b = e_hi3.reshape(2 * CHUNK, chn).astype(jnp.bfloat16)
-    gab = jnp.dot(e_hi_b, x_h, preferred_element_type=jnp.float32)
-    gab = gab + jnp.dot(e_hi_b, x_l, preferred_element_type=jnp.float32)
-    x_ab = jnp.sum(gab * e_lo, axis=1, keepdims=True).reshape(2 * RC, LANE)
-    xa, xb = x_ab[:RC], x_ab[RC:]
-
-    w = 1.0 / jnp.maximum(term, 1e-30)
-    mu = jnp.minimum(eta_lr * w, 1.0)
-    dx = xa - xb
-    dx = jnp.where(dx == 0.0, 1e-9, dx)
-    mag = jnp.abs(dx)
-    delta = mu * (mag - term) / 2.0
-    r = jnp.where(valid, delta / mag * dx, 0.0)
-
-    rxx = jnp.concatenate([-r, r], axis=0)[:, :, None]
-    vv = jnp.concatenate([vf, vf], axis=0)[:, :, None]
-    e_lo_b = e_lo.astype(jnp.bfloat16)
-
-    def sc(v3):
-        piece = (e_hi3 * v3).reshape(2 * CHUNK, chn).astype(jnp.bfloat16)
-        return jax.lax.dot_general(
-            piece,
-            e_lo_b,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    return jnp.concatenate([sc(rxx), sc(vv)], axis=1)
-
-
-def _make_kernel_1d(chn: int, nch: int, num_batches: int):
-    def kernel(o_ref, d_ref, e_ref, planes_ref, xin_ref, out_ref, acc_ref):
-        it = pl.program_id(0)
-        b = pl.program_id(1)
-        c = pl.program_id(2)
-        gchunk = (it * num_batches + b) * nch + c
-
-        @pl.when(gchunk == 0)
-        def _():
-            out_ref[:] = xin_ref[:]
-
-        @pl.when(c == 0)
-        def _():
-            acc_ref[:] = jnp.zeros((chn, 2 * LANE), jnp.float32)
-
-        acc = _chunk_acc_1d(
-            chn, o_ref[gchunk], d_ref[gchunk], e_ref[gchunk],
-            planes_ref, out_ref[:],
-        )
-        acc_ref[:] = acc_ref[:] + acc
-
-        @pl.when(c == nch - 1)
-        def _():
-            cnt = jnp.maximum(acc_ref[:, LANE:], 1.0)
-            out_ref[:] = out_ref[:] + acc_ref[:, :LANE] / cnt
-
-    return kernel
-
-
-@partial(
-    jax.jit,
-    static_argnames=("iter_max", "chn", "nch", "num_batches", "interpret"),
-)
-def _pallas_sgd_1d_call(
-    x_plane, planes, o_arr, d_arr, eta_arr, iter_max: int,
-    chn: int, nch: int, num_batches: int, interpret: bool,
-):
-    pr = planes.shape[1]
-    kernel = _make_kernel_1d(chn, nch, num_batches)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(iter_max, num_batches, nch),
-        in_specs=[
-            pl.BlockSpec(
-                (4, pr, LANE), lambda i, b, c, *_: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (chn, LANE), lambda i, b, c, *_: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (chn, LANE), lambda i, b, c, *_: (0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((chn, 2 * LANE), jnp.float32),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((chn, LANE), jnp.float32),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(o_arr, d_arr, eta_arr, planes, x_plane)
-
-
-def build_data_1d(g, cfg) -> PallasSgdData:
-    """1D planes share the 2D layout but size the coordinate rows by NODES
-    (not endpoints) and keep the 1D zipf-space quirk (space in nt, jumps in
-    steps — reference: sort_main.cpp:387 vs path_sgd.cpp:249)."""
-    d = PallasSgdData.build_cached(g, cfg.space)
-    chn = _pad_to(max(-(-g.num_nodes // LANE), 1), 8)
-    return PallasSgdData(
-        planes=d.planes,
-        num_steps=d.num_steps,
-        n_blocks=d.n_blocks,
-        ch=chn,
-        num_nodes=d.num_nodes,
-        space=d.space,
-    )
-
-
-def path_sgd_1d_pallas(g, cfg=None, x0=None) -> np.ndarray:
+def path_sgd_1d_pallas(g, cfg=None, x0=None,
+                       interpret: Optional[bool] = None) -> np.ndarray:
     """Fused-kernel 1D PG-SGD; drop-in for the hot part of
     ops.sgd.path_sgd_1d (dispatched when pallas_supported_1d holds)."""
     from .sgd import derive_config_1d
@@ -822,44 +931,43 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None) -> np.ndarray:
         cfg = derive_config_1d(g)
     if not (g.path_step_count > 1).any():
         return g.node_offset.astype(np.float64)
-    data = build_data_1d(g, cfg)
-    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
-    nb = _num_batches(cfg, nch)
-    o_arr, d_arr, eta_arr = _host_chunk_scalars(cfg, data, nch, nb, one_d=True)
-    x = np.zeros(data.ch * LANE, np.float32)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p = plan_run(g, cfg, one_d=True)
+    data = p["data"]
+    nl = data.ch
+    pr = data.planes.shape[1]
+    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
+    seed = int(cfg.seed) & 0x7FFFFFFF
+
     x0v = (
         g.node_offset.astype(np.float32)
         if x0 is None
         else np.asarray(x0, np.float32)
     )
-    x[: g.num_nodes] = x0v
-    xp = jnp.asarray(x.reshape(data.ch, LANE))
-    # segmented dispatch, as in path_sgd_2d_pallas (1D draws no coins, so
-    # segments only need the scalar-array slices)
-    per_iter = nb * nch
-    seg_iters = max(1, min(cfg.iter_max, MAX_CHUNKS // per_iter))
-    it0 = 0
-    while it0 < cfg.iter_max:
-        iters = min(seg_iters, cfg.iter_max - it0)
-        c0 = it0 * per_iter
-        c1 = (it0 + iters) * per_iter
-        xp = _pallas_sgd_1d_call(
-            xp,
-            data.planes,
-            o_arr[c0:c1],
-            d_arr[c0:c1],
-            eta_arr[c0:c1],
-            iters,
-            data.ch,
-            nch,
-            nb,
-            False,
+    cp0 = jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr))
+    xn = jnp.asarray(x_to_node_array(x0v, nl))
+    recip = jnp.asarray(_recip_r(g, nl, one_d=True))
+    o_arr = jnp.asarray(p["o_blk"])
+    d_arr = jnp.asarray(p["d_arr"])
+    eta_arr = jnp.asarray(p["eta_arr"])
+
+    for g0, n_g in _segments(p["groups"], p["cgs"]):
+        c0 = g0 * p["cgs"]
+        c1 = (g0 + n_g) * p["cgs"]
+        meta = jnp.asarray([c0, seed], jnp.int32)
+        xn = _pallas_call(
+            meta, o_arr[c0:c1], d_arr[c0:c1], eta_arr[c0:c1],
+            data.planes, cp0, xn, recip,
+            n_g, p["cgs"], n_tiles, nl, True, bool(interpret),
         )
-        it0 += iters
-    return np.asarray(xp).reshape(-1)[: g.num_nodes].astype(np.float64)
+        if g0 + n_g < p["groups"]:
+            host_x = node_array_to_x(np.asarray(xn), g.num_nodes)
+            cp0 = jnp.asarray(_pad_planes(_step_x_plane(g, host_x)[None, :], pr))
+    return node_array_to_x(np.asarray(xn), g.num_nodes).astype(np.float64)
 
 
-def pallas_supported_1d(g, cfg) -> bool:
+def _supported(g, cfg, one_d: bool) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     if cfg.delta > 0:
@@ -868,12 +976,251 @@ def pallas_supported_1d(g, cfg) -> bool:
     if S < CHUNK:
         return False
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
-    if max_pos >= 2**24 or g.num_nodes >= 2**24:
+    if max_pos >= 2**30:
         return False
-    pad = _pad_to(S + CHUNK + int(cfg.space) + 2 * RC * LANE, RC * LANE)
-    chn = _pad_to(max(-(-g.num_nodes // LANE), 1), 8)
-    nch = int(np.clip(cfg.batch_size // CHUNK, 1, 64))
-    nb = _num_batches(cfg, nch)
-    if nb * nch > MAX_CHUNKS:
-        return False  # a single iteration must fit one segmented dispatch
-    return 4 * pad * 4 < 7 * 1024 * 1024 and chn <= 512
+    idx_count = (g.num_nodes + 1) if one_d else (2 * g.num_nodes + 2)
+    nl = _pad_to(max(-(-idx_count // LANE), 1), 8)
+    if nl > 256:
+        return False  # merge one-hot capacity cap (streaming path: TODO)
+    space = int(cfg.space)
+    pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, TR * LANE)
+    np_planes = 3 if one_d else 4
+    ncp = 1 if one_d else 4
+    vmem = (np_planes + 3 * ncp) * pad * 4
+    return vmem < VMEM_BUDGET
+
+
+def pallas_supported(g, cfg) -> bool:
+    """Whether the fused 2D kernel applies to this graph/config.
+
+    Requires: TPU backend, no delta early-stop (the kernel runs the full
+    schedule per dispatch), VMEM-resident step planes + replicas, node
+    capacity within the merge one-hot cap, positions < 2^30."""
+    return _supported(g, cfg, one_d=False)
+
+
+def pallas_supported_1d(g, cfg) -> bool:
+    return _supported(g, cfg, one_d=True)
+
+
+# ---------------------------------------------------------------------------
+# XLA+host twin (semantic reference; runs on any backend incl. CPU tests)
+# ---------------------------------------------------------------------------
+
+
+def _twin_coins(gchunk):
+    """Flat (2, CHUNK) coin words — the SAME splitmix hash as the kernel's
+    _pair_coins, flattened in the kernel's (row, lane) order."""
+    h = _pair_coins(gchunk)
+    return h.reshape(2, CHUNK)
+
+
+@partial(jax.jit, static_argnames=("cgs",), donate_argnums=(0,))
+def _twin_chunks_2d(cp, pos0, pos1, path, o_arr, d_arr, eta_arr, g0,
+                    cgs: int):
+    """One merge group of chunk updates on flat replica planes — the
+    jittable half of the twin (the consensus merge runs on the host with
+    numpy: XLA CPU compiles graph-sized scatters pathologically slowly,
+    minutes for one segment-sum)."""
+
+    def chunk_body(c, cp):
+        gl = g0 + c
+        o = o_arr[gl] * LANE
+        D = d_arr[gl]
+        eta_lr = eta_arr[gl]
+        coins = _twin_coins(gl * 1000003)
+        caf = (coins[0] & 1) == 0
+        cbf = (coins[1] & 1) == 0
+        a = jax.lax.dynamic_slice(cp, (0, o), (4, CHUNK))
+        b = jax.lax.dynamic_slice(cp, (0, o + D), (4, CHUNK))
+        pa0 = jax.lax.dynamic_slice(pos0, (o,), (CHUNK,))
+        pa1 = jax.lax.dynamic_slice(pos1, (o,), (CHUNK,))
+        pb0 = jax.lax.dynamic_slice(pos0, (o + D,), (CHUNK,))
+        pb1 = jax.lax.dynamic_slice(pos1, (o + D,), (CHUNK,))
+        patha = jax.lax.dynamic_slice(path, (o,), (CHUNK,))
+        pathb = jax.lax.dynamic_slice(path, (o + D,), (CHUNK,))
+        pos_a = jnp.where(caf, pa0, pa1)
+        pos_b = jnp.where(cbf, pb0, pb1)
+        xa = jnp.where(caf, a[0], a[1])
+        ya = jnp.where(caf, a[2], a[3])
+        xb = jnp.where(cbf, b[0], b[1])
+        yb = jnp.where(cbf, b[2], b[3])
+        valid = jnp.logical_and(patha == pathb, patha >= 0)
+        term = jnp.maximum(jnp.abs(pos_a - pos_b).astype(jnp.float32), 1e-9)
+        mu = jnp.minimum(eta_lr / term, 1.0)
+        dx = xa - xb
+        dx = jnp.where(dx == 0.0, 1e-9, dx)
+        dy = ya - yb
+        mag = jnp.sqrt(dx * dx + dy * dy)
+        delta = mu * (mag - term) * 0.5
+        r = jnp.where(valid, delta / mag, 0.0)
+        rx = r * dx
+        ry = r * dy
+        zero = jnp.zeros_like(rx)
+        upd_a = jnp.stack([
+            jnp.where(caf, -rx, zero), jnp.where(caf, zero, -rx),
+            jnp.where(caf, -ry, zero), jnp.where(caf, zero, -ry),
+        ])
+        upd_b = jnp.stack([
+            jnp.where(cbf, rx, zero), jnp.where(cbf, zero, rx),
+            jnp.where(cbf, ry, zero), jnp.where(cbf, zero, ry),
+        ])
+        cp = jax.lax.dynamic_update_slice(
+            cp, jax.lax.dynamic_slice(cp, (0, o), (4, CHUNK)) + upd_a, (0, o)
+        )
+        cp = jax.lax.dynamic_update_slice(
+            cp, jax.lax.dynamic_slice(cp, (0, o + D), (4, CHUNK)) + upd_b,
+            (0, o + D),
+        )
+        return cp
+
+    return jax.lax.fori_loop(0, cgs, chunk_body, cp)
+
+
+def path_sgd_2d_strata_xla(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
+    """Any-backend run of the replica strata scheme; the semantic
+    reference for path_sgd_2d_pallas, exercised by the CPU test suite.
+    Matches the kernel chunk-for-chunk (same host scalars, same coin
+    hash, same RMW ordering); the only numeric difference is the kernel's
+    bf16 consensus matmuls vs exact f32/f64 here."""
+    from .sgd import derive_config_2d
+
+    if cfg is None:
+        cfg = derive_config_2d(g)
+    if not (g.path_step_count > 1).any():
+        return np.asarray(coords0, np.float64)
+    p = plan_run(g, cfg, one_d=False)
+    data = p["data"]
+    pr = data.planes.shape[1]
+    flat = np.asarray(data.planes).reshape(data.planes.shape[0], -1)
+    S = g.num_steps
+    node = (g.step_handle >> 1).astype(np.int64)
+    orient = (g.step_handle & 1).astype(np.int64)
+    idx_cap = 2 * g.num_nodes + 2
+    epf = np.full(pr * LANE, 2 * g.num_nodes, np.int64)
+    epf[:S] = 2 * node + orient
+    epr = epf ^ 1
+    rr2 = np.repeat(np.bincount(node, minlength=g.num_nodes), 2).astype(np.float64)
+    recip = np.zeros(idx_cap, np.float64)
+    recip[: 2 * g.num_nodes] = np.where(rr2 > 0, 1.0 / np.maximum(rr2, 1), 0.0)
+
+    pos0 = jnp.asarray(flat[_POS])
+    pos1 = jnp.asarray(flat[_POSEND])
+    path = jnp.asarray(flat[_PATH])
+    o_arr = jnp.asarray(p["o_blk"])
+    d_arr = jnp.asarray(p["d_arr"])
+    eta_arr = jnp.asarray(p["eta_arr"])
+    cp = jnp.asarray(_pad_planes(_step_coord_planes(g, coords0), pr).reshape(4, -1))
+    base = np.asarray(cp, np.float32).copy()
+    xy = np.asarray(coords0, np.float64).copy()
+
+    for gid in range(p["groups"]):
+        cp = _twin_chunks_2d(
+            cp, pos0, pos1, path, o_arr, d_arr, eta_arr,
+            jnp.int32(gid * p["cgs"]), p["cgs"],
+        )
+        cpn = np.asarray(cp, np.float32)
+        dv = (cpn - base).astype(np.float64)
+        accx = np.bincount(epf, weights=dv[0], minlength=idx_cap)
+        accx += np.bincount(epr, weights=dv[1], minlength=idx_cap)
+        accy = np.bincount(epf, weights=dv[2], minlength=idx_cap)
+        accy += np.bincount(epr, weights=dv[3], minlength=idx_cap)
+        updx = accx * recip
+        updy = accy * recip
+        xy[:, 0] += updx[: 2 * g.num_nodes]
+        xy[:, 1] += updy[: 2 * g.num_nodes]
+        bc = np.stack([updx[epf], updx[epr], updy[epf], updy[epr]]).astype(
+            np.float64
+        )
+        # consensus collapse: base' = base + upd stays the broadcast of the
+        # node coords; replicas reset to it (see _merge_tiles_2d)
+        base = (base.astype(np.float64) + bc).astype(np.float32)
+        cp = jnp.asarray(base)
+    return xy
+
+
+@partial(jax.jit, static_argnames=("cgs",), donate_argnums=(0,))
+def _twin_chunks_1d(cp, pos, path, o_arr, d_arr, eta_arr, g0, cgs: int):
+    def chunk_body(c, cp):
+        gl = g0 + c
+        o = o_arr[gl] * LANE
+        D = d_arr[gl]
+        eta_lr = eta_arr[gl]
+        xa = jax.lax.dynamic_slice(cp, (o,), (CHUNK,))
+        xb = jax.lax.dynamic_slice(cp, (o + D,), (CHUNK,))
+        pa = jax.lax.dynamic_slice(pos, (o,), (CHUNK,))
+        pb = jax.lax.dynamic_slice(pos, (o + D,), (CHUNK,))
+        patha = jax.lax.dynamic_slice(path, (o,), (CHUNK,))
+        pathb = jax.lax.dynamic_slice(path, (o + D,), (CHUNK,))
+        di = pa - pb
+        valid = jnp.logical_and(
+            jnp.logical_and(patha == pathb, patha >= 0), di != 0
+        )
+        term = jnp.abs(di).astype(jnp.float32)
+        w = 1.0 / jnp.maximum(term, 1e-30)
+        mu = jnp.minimum(eta_lr * w, 1.0)
+        dx = xa - xb
+        dx = jnp.where(dx == 0.0, 1e-9, dx)
+        mag = jnp.abs(dx)
+        delta = mu * (mag - term) * 0.5
+        rr = jnp.where(valid, delta / mag * dx, 0.0)
+        cp = jax.lax.dynamic_update_slice(
+            cp, jax.lax.dynamic_slice(cp, (o,), (CHUNK,)) - rr, (o,)
+        )
+        cp = jax.lax.dynamic_update_slice(
+            cp, jax.lax.dynamic_slice(cp, (o + D,), (CHUNK,)) + rr, (o + D,)
+        )
+        return cp
+
+    return jax.lax.fori_loop(0, cgs, chunk_body, cp)
+
+
+def path_sgd_1d_strata_xla(g, cfg=None, x0=None) -> np.ndarray:
+    """Any-backend twin of the 1D replica kernel (see
+    path_sgd_2d_strata_xla)."""
+    from .sgd import derive_config_1d
+
+    if cfg is None:
+        cfg = derive_config_1d(g)
+    if not (g.path_step_count > 1).any():
+        return g.node_offset.astype(np.float64)
+    p = plan_run(g, cfg, one_d=True)
+    data = p["data"]
+    pr = data.planes.shape[1]
+    flat = np.asarray(data.planes).reshape(data.planes.shape[0], -1)
+    S = g.num_steps
+    node = (g.step_handle >> 1).astype(np.int64)
+    idx_cap = g.num_nodes + 1
+    nd = np.full(pr * LANE, g.num_nodes, np.int64)
+    nd[:S] = node
+    rr = np.bincount(node, minlength=g.num_nodes).astype(np.float64)
+    recip = np.zeros(idx_cap, np.float64)
+    recip[: g.num_nodes] = np.where(rr > 0, 1.0 / np.maximum(rr, 1), 0.0)
+    x0v = (
+        g.node_offset.astype(np.float32)
+        if x0 is None
+        else np.asarray(x0, np.float32)
+    )
+
+    pos = jnp.asarray(flat[_P1_POS])
+    path = jnp.asarray(flat[_P1_PATH])
+    o_arr = jnp.asarray(p["o_blk"])
+    d_arr = jnp.asarray(p["d_arr"])
+    eta_arr = jnp.asarray(p["eta_arr"])
+    cp = jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr).reshape(-1))
+    base = np.asarray(cp, np.float32).copy()
+    xn = x0v.astype(np.float64).copy()
+
+    for gid in range(p["groups"]):
+        cp = _twin_chunks_1d(
+            cp, pos, path, o_arr, d_arr, eta_arr,
+            jnp.int32(gid * p["cgs"]), p["cgs"],
+        )
+        cpn = np.asarray(cp, np.float32)
+        dv = (cpn - base).astype(np.float64)
+        acc = np.bincount(nd, weights=dv, minlength=idx_cap)
+        upd = acc * recip
+        xn += upd[: g.num_nodes]
+        base = (base.astype(np.float64) + upd[nd]).astype(np.float32)
+        cp = jnp.asarray(base)
+    return xn

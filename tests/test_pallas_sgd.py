@@ -110,13 +110,14 @@ def test_strata_xla_respects_path_boundaries():
     g = b.build()
     cfg = sgd.derive_config_2d(g, iter_max=3)
     coords0 = init_layout(g, "d")
-    c0_f32 = np.asarray(coords0, np.float32).astype(np.float64)
+    c0_f64 = np.asarray(coords0, np.float64)
     out = ps.path_sgd_2d_strata_xla(g, coords0, cfg)
     lone = 38  # rank of node 39
+    # the replica twin keeps untouched nodes bit-exact at the f64 init
     assert np.array_equal(
-        out[2 * lone : 2 * lone + 2], c0_f32[2 * lone : 2 * lone + 2]
+        out[2 * lone : 2 * lone + 2], c0_f64[2 * lone : 2 * lone + 2]
     )
-    moved = np.abs(out[: 2 * 30] - c0_f32[: 2 * 30]).sum()
+    moved = np.abs(out[: 2 * 30] - c0_f64[: 2 * 30]).sum()
     assert moved > 0  # the real path did optimize
 
 
