@@ -91,11 +91,15 @@ TR = 32                # merge tile rows (TR*128 steps per merge tile)
 _POS, _POSEND, _HANDLE, _PATH = range(4)
 _P1_POS, _P1_HANDLE, _P1_PATH = range(3)  # 1D planes (no pos_end)
 
-# Max per-segment chunk count for the SMEM prefetch scalar arrays; longer
-# runs are split into segments at merge-group boundaries (same compiled
-# kernel — the segment base rides a prefetched meta array, so the coin
-# stream and the results are independent of the split).
-MAX_CHUNKS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CHUNKS", "32768"))
+# Max per-dispatch chunk count (bounds the VMEM (2, groups, cgs) scalar
+# array); longer runs are split into segments at merge-group boundaries
+# (same compiled kernel — the segment base rides a prefetched meta array,
+# so the coin stream and the results are independent of the split).
+MAX_CHUNKS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CHUNKS", "262144"))
+# Max chunks per merge group: the group's (o, D) scalars are DMA-staged
+# into an SMEM scratch per group; large SMEM residency collapses kernel
+# throughput (measured ~3x cliff past ~40KB), so groups stay small.
+MAX_CGS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CGS", "2048"))
 # Merge groups per iteration (1 = consensus once per iteration, the CUDA
 # launch granularity).  >1 merges more often (less replica staleness,
 # more merge overhead).
@@ -402,6 +406,9 @@ def _count_valid(g, data: "PallasSgdData", o_blk: np.ndarray,
     return total
 
 
+_PLAN_CACHE: dict = {}
+
+
 def plan_run(g, cfg, one_d: bool = False) -> dict:
     """The single source of truth for the Pallas dispatch geometry AND the
     benchmark's work accounting (so they cannot diverge): chunks per
@@ -409,14 +416,34 @@ def plan_run(g, cfg, one_d: bool = False) -> dict:
 
     The chunk count per iteration is compensated upward by the measured
     valid-pair fraction so that VALID updates per iteration >= the
-    reference's min_term_updates contract."""
+    reference's min_term_updates contract.
+
+    Cached per (graph, config): the exact valid-pair count is ~0.5s of
+    host numpy on DRB1 — 40x the device time of the whole optimization —
+    so it must not run per dispatch."""
+    key = (id(g), cfg, one_d, RC, MAX_CGS, MERGES_PER_ITER)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None and hit[0] is g:
+        return hit[1]
+    p = _plan_run_uncached(g, cfg, one_d)
+    _PLAN_CACHE[key] = (g, p)
+    while len(_PLAN_CACHE) > 8:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    return p
+
+
+def _plan_run_uncached(g, cfg, one_d: bool) -> dict:
     data = PallasSgdData.build_cached(g, int(cfg.space), one_d)
     nch0 = max(1, -(-cfg.min_term_updates // CHUNK))
     o_blk, d_arr, _ = _host_chunk_scalars(cfg, data, nch0, 1, one_d)
     valid0 = _count_valid(g, data, o_blk, d_arr)
     frac = max(valid0 / max(len(o_blk) * CHUNK, 1), 0.05)
     cpi = max(1, -(-cfg.min_term_updates // int(CHUNK * frac)))
-    mpi = max(1, min(MERGES_PER_ITER, cpi))
+    # split each iteration into merge groups: at least MERGES_PER_ITER,
+    # and enough that a group's (o, D) scalars fit the SMEM staging
+    # buffer (see MAX_CGS / _make_kernel_*)
+    mpi = max(MERGES_PER_ITER, -(-cpi // MAX_CGS))
+    mpi = max(1, min(mpi, cpi))
     cpi = _pad_to(cpi, mpi)
     o_blk, d_arr, eta_arr = _host_chunk_scalars(cfg, data, cpi, 1, one_d)
     valid = _count_valid(g, data, o_blk, d_arr)
@@ -465,63 +492,83 @@ def _read_a(ref, p, o_blk):
     return ref[p, pl.ds(o_blk, RC), :]
 
 
-def _read_b(ref, p, r0, c_sh, keep):
-    """B-window read: 2*RC rows at r0 (8-row-multiple windows lower far
-    better in Mosaic than RC+1), lane-rotate by -c_sh, row-blend."""
-    rows = ref[p, pl.ds(r0, 2 * RC), :]
-    r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=1)
-    return jnp.where(keep, r1[0:RC], r1[1 : RC + 1])
+def _read_b_rows(rows, c_sh, keep):
+    """roll+blend of already-loaded (NP, 2*RC, 128) B-window rows."""
+    r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=2)
+    return jnp.where(keep, r1[:, 0:RC], r1[:, 1 : RC + 1])
 
 
-def _rmw_a(ref, p, o_blk, v):
-    ref[p, pl.ds(o_blk, RC), :] = ref[p, pl.ds(o_blk, RC), :] + v
+def _read_b_stacked(ref, r0, c_sh, keep):
+    """Stacked B-window read: ONE (NP, 2*RC, 128) dynamic slice for all
+    planes of the ref, ONE lane-rotate by -c_sh, one row-blend.  Per-op
+    dispatch overhead dominates the chunk body, so everything that can
+    share a slice/roll does (8-row-multiple windows: unaligned sublane
+    windows lower pathologically in Mosaic)."""
+    rows = ref[:, pl.ds(r0, 2 * RC), :]
+    r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=2)
+    return jnp.where(keep, r1[:, 0:RC], r1[:, 1 : RC + 1])
 
 
-def _rmw_b(ref, p, r0, c_sh, lane2, v):
-    """B-window scatter-add: inverse of _read_b (rotate by +c_sh, split
-    the wrapped lanes into the next row).  2*RC-row window (see _read_b);
-    rows RC+1.. add zero."""
-    rot = pltpu.roll(v, c_sh, axis=1)
-    z = jnp.zeros((RC - 1, LANE), jnp.float32)
-    z1 = jnp.zeros((1, LANE), jnp.float32)
-    top = jnp.concatenate([rot, z1, z], axis=0)
-    bot = jnp.concatenate([z1, rot, z], axis=0)
+def _rmw_a_stacked(ref, o_blk, v):
+    ref[:, pl.ds(o_blk, RC), :] = ref[:, pl.ds(o_blk, RC), :] + v
+
+
+def _rmw_b_stacked(ref, r0, c_sh, lane2, v):
+    """Stacked B-window scatter-add: inverse of _read_b_stacked (rotate
+    by +c_sh, split the wrapped lanes into the next row); one RMW for all
+    planes.  v: (NP, RC, 128); rows RC+1.. of the window add zero."""
+    np_ = v.shape[0]
+    rot = pltpu.roll(v, c_sh, axis=2)
+    z1 = jnp.zeros((np_, 1, LANE), jnp.float32)
+    z = jnp.zeros((np_, RC - 1, LANE), jnp.float32)
+    top = jnp.concatenate([rot, z1, z], axis=1)
+    bot = jnp.concatenate([z1, rot, z], axis=1)
     # pair slot (r, l) targets row r0+r+(l+c_sh >= 128), lane (l+c_sh)&127:
     # unwrapped lanes (>= c_sh) come from the same rotated row (top),
     # wrapped lanes (< c_sh) from the previous one (bot)
     contrib = jnp.where(lane2 >= c_sh, top, bot)
-    ref[p, pl.ds(r0, 2 * RC), :] = ref[p, pl.ds(r0, 2 * RC), :] + contrib
+    ref[:, pl.ds(r0, 2 * RC), :] = ref[:, pl.ds(r0, 2 * RC), :] + contrib
 
 
-def _chunk_2d(planes_ref, cp_ref, o_blk, D, eta_lr, gchunk_global):
+def _chunk_2d(planes_ref, drift_ref, base_ref, o_blk, D, eta_lr,
+              gchunk_global):
     """One chunk of CHUNK pair updates, replica style: contiguous reads,
-    ~40 VPU ops, contiguous RMW writes.  Update math: layout.cu:141-188."""
+    ~40 VPU ops, contiguous RMW writes.  Update math: layout.cu:141-188.
+
+    Replicas are stored as DRIFT from the last consensus (base + drift =
+    absolute): compounding tiny cooled-phase deltas into an absolute-f32
+    plane silently loses anything below one ulp of the coordinate
+    magnitude (~1e-3 at 1e4 nt), which measurably stalls convergence on
+    real-f32 hardware (chip stress plateaued at 1.7 vs 1.26 for the
+    excess-precision CPU twin); drift values stay small so the compound
+    is exact."""
     r0 = o_blk + jax.lax.shift_right_logical(D, 7)
     c_sh = jnp.bitwise_and(D, LANE - 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RC, LANE), 1)
-    keep = lane < (LANE - c_sh)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * RC, LANE), 1)
+    keep = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2) < (
+        LANE - c_sh
+    )
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
 
-    pa0 = _read_a(planes_ref, _POS, o_blk)
-    pa1 = _read_a(planes_ref, _POSEND, o_blk)
-    patha = _read_a(planes_ref, _PATH, o_blk)
-    pb0 = _read_b(planes_ref, _POS, r0, c_sh, keep)
-    pb1 = _read_b(planes_ref, _POSEND, r0, c_sh, keep)
-    pathb = _read_b(planes_ref, _PATH, r0, c_sh, keep)
-    xfa = _read_a(cp_ref, 0, o_blk)
-    xra = _read_a(cp_ref, 1, o_blk)
-    yfa = _read_a(cp_ref, 2, o_blk)
-    yra = _read_a(cp_ref, 3, o_blk)
-    xfb = _read_b(cp_ref, 0, r0, c_sh, keep)
-    xrb = _read_b(cp_ref, 1, r0, c_sh, keep)
-    yfb = _read_b(cp_ref, 2, r0, c_sh, keep)
-    yrb = _read_b(cp_ref, 3, r0, c_sh, keep)
+    pa = planes_ref[:, pl.ds(o_blk, RC), :]
+    pb = _read_b_stacked(planes_ref, r0, c_sh, keep)
+    ca_ = (base_ref[:, pl.ds(o_blk, RC), :]
+           + drift_ref[:, pl.ds(o_blk, RC), :])
+    b_rows = (base_ref[:, pl.ds(r0, 2 * RC), :]
+              + drift_ref[:, pl.ds(r0, 2 * RC), :])
+    cb_ = _read_b_rows(b_rows, c_sh, keep)
+    pa0, pa1, patha = pa[_POS], pa[_POSEND], pa[_PATH]
+    pb0, pb1, pathb = pb[_POS], pb[_POSEND], pb[_PATH]
+    xfa, xra, yfa, yra = ca_[0], ca_[1], ca_[2], ca_[3]
+    xfb, xrb, yfb, yrb = cb_[0], cb_[1], cb_[2], cb_[3]
 
     coins = _pair_coins(gchunk_global * 1000003 + 0)
     ca = coins[0] & 1
     cb = coins[1] & 1
     caf = ca == 0
     cbf = cb == 0
+    if "nocoins" in _ABLATE:
+        caf = jnp.ones_like(caf)
+        cbf = jnp.ones_like(cbf)
 
     pos_a = jnp.where(caf, pa0, pa1)
     pos_b = jnp.where(cbf, pb0, pb1)
@@ -544,32 +591,38 @@ def _chunk_2d(planes_ref, cp_ref, o_blk, D, eta_lr, gchunk_global):
 
     zero = jnp.zeros_like(rx)
     if "noarmw" not in _ABLATE:
-        _rmw_a(cp_ref, 0, o_blk, jnp.where(caf, -rx, zero))
-        _rmw_a(cp_ref, 1, o_blk, jnp.where(caf, zero, -rx))
-        _rmw_a(cp_ref, 2, o_blk, jnp.where(caf, -ry, zero))
-        _rmw_a(cp_ref, 3, o_blk, jnp.where(caf, zero, -ry))
+        va = jnp.stack([
+            jnp.where(caf, -rx, zero), jnp.where(caf, zero, -rx),
+            jnp.where(caf, -ry, zero), jnp.where(caf, zero, -ry),
+        ])
+        _rmw_a_stacked(drift_ref, o_blk, va)
     if "nobrmw" not in _ABLATE:
-        _rmw_b(cp_ref, 0, r0, c_sh, lane2, jnp.where(cbf, rx, zero))
-        _rmw_b(cp_ref, 1, r0, c_sh, lane2, jnp.where(cbf, zero, rx))
-        _rmw_b(cp_ref, 2, r0, c_sh, lane2, jnp.where(cbf, ry, zero))
-        _rmw_b(cp_ref, 3, r0, c_sh, lane2, jnp.where(cbf, zero, ry))
+        vb = jnp.stack([
+            jnp.where(cbf, rx, zero), jnp.where(cbf, zero, rx),
+            jnp.where(cbf, ry, zero), jnp.where(cbf, zero, ry),
+        ])
+        _rmw_b_stacked(drift_ref, r0, c_sh, lane2, vb)
 
 
-def _chunk_1d(planes_ref, cp_ref, o_blk, D, eta_lr):
-    """1D strata chunk on per-step X replicas (reference:
-    path_sgd.cpp:304-396 for the update math)."""
+def _chunk_1d(planes_ref, drift_ref, base_ref, o_blk, D, eta_lr):
+    """1D strata chunk on per-step X replicas, drift form (see _chunk_2d;
+    reference: path_sgd.cpp:304-396 for the update math)."""
     r0 = o_blk + jax.lax.shift_right_logical(D, 7)
     c_sh = jnp.bitwise_and(D, LANE - 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RC, LANE), 1)
-    keep = lane < (LANE - c_sh)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * RC, LANE), 1)
+    keep = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2) < (
+        LANE - c_sh
+    )
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
 
-    pa = _read_a(planes_ref, _P1_POS, o_blk)
-    patha = _read_a(planes_ref, _P1_PATH, o_blk)
-    pb = _read_b(planes_ref, _P1_POS, r0, c_sh, keep)
-    pathb = _read_b(planes_ref, _P1_PATH, r0, c_sh, keep)
-    xa = _read_a(cp_ref, 0, o_blk)
-    xb = _read_b(cp_ref, 0, r0, c_sh, keep)
+    pas = planes_ref[:, pl.ds(o_blk, RC), :]
+    pbs = _read_b_stacked(planes_ref, r0, c_sh, keep)
+    pa, patha = pas[_P1_POS], pas[_P1_PATH]
+    pb, pathb = pbs[_P1_POS], pbs[_P1_PATH]
+    xa = (base_ref[0, pl.ds(o_blk, RC), :]
+          + drift_ref[0, pl.ds(o_blk, RC), :])
+    b_rows = (base_ref[:, pl.ds(r0, 2 * RC), :]
+              + drift_ref[:, pl.ds(r0, 2 * RC), :])
+    xb = _read_b_rows(b_rows, c_sh, keep)[0]
 
     di = pa - pb
     valid = jnp.logical_and(
@@ -584,18 +637,41 @@ def _chunk_1d(planes_ref, cp_ref, o_blk, D, eta_lr):
     delta = mu * (mag - term) * 0.5
     rr = jnp.where(valid, delta / mag * dx, 0.0)
 
-    _rmw_a(cp_ref, 0, o_blk, -rr)
-    _rmw_b(cp_ref, 0, r0, c_sh, lane2, rr)
+    _rmw_a_stacked(drift_ref, o_blk, -rr[None])
+    _rmw_b_stacked(drift_ref, r0, c_sh, lane2, rr[None])
 
 
 # Consensus merge ------------------------------------------------------------
 
 
-def _merge_tiles_2d(planes_ref, cp_ref, base_ref, out_ref, acc_ref,
-                    recip_ref, n_tiles: int, nl: int):
-    """Consensus: out += sum_steps(cp - base) / R per endpoint, then
-    broadcast the update back into cp and base.  Factored one-hot matmuls
-    over the step table; endpoint idx -> (sublane idx & 127, lane
+# Merge matmuls run f32 operands at Precision.HIGHEST: the MXU computes
+# f32 dots as a SINGLE bf16 pass by default, which quantizes the folded
+# drift sums to ~8 mantissa bits regardless of operand dtype (measured:
+# per-merge consensus error ~0.4% of the update, stalling converged
+# stress at 1.7 vs 1.26).  HIGHEST makes the value side exact; the
+# one-hot side is exact in any precision.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _twosum_update(out_ref, lo_ref, upd):
+    """Compensated out += upd: node coordinates reach ~1e4 while cooled
+    updates shrink to ~1e-3 = one f32 ulp, so a plain f32 accumulate
+    plateaus (measured: chip stress stuck at ~1.7 while the f64-merge twin
+    reaches 1.26).  TwoSum keeps the lost low bits in a second f32 plane;
+    the final group folds them back into the output."""
+    hi = out_ref[:]
+    s = hi + upd
+    bb = s - hi
+    e = (hi - (s - bb)) + (upd - bb)
+    out_ref[:] = s
+    lo_ref[:] = lo_ref[:] + e
+
+
+def _merge_tiles_2d(planes_ref, drift_ref, base_ref, out_ref, lo_ref,
+                    acc_ref, recip_ref, n_tiles: int, nl: int):
+    """Consensus: out += sum_steps(drift) / R per endpoint, then broadcast
+    the update into base and reset drift to zero.  Factored one-hot
+    matmuls over the step table; endpoint idx -> (sublane idx & 127, lane
     idx >> 7) of the (128, 2*NL) node array."""
     iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
     iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
@@ -611,13 +687,11 @@ def _merge_tiles_2d(planes_ref, cp_ref, base_ref, out_ref, acc_ref,
             (lof[:, :, None] == iota_128)
             .astype(jnp.float32)
             .reshape(TR * LANE, LANE)
-            .astype(jnp.bfloat16)
         )
         e_lo_r = (
             ((lof ^ 1)[:, :, None] == iota_128)
             .astype(jnp.float32)
             .reshape(TR * LANE, LANE)
-            .astype(jnp.bfloat16)
         )
         return r, e_hi, e_lo_f, e_lo_r
 
@@ -626,24 +700,24 @@ def _merge_tiles_2d(planes_ref, cp_ref, base_ref, out_ref, acc_ref,
         ds = pl.ds(r, TR)
 
         def piece(p):
-            # fold in f32 (Mosaic can't minor-dim-broadcast bf16); cast to
-            # bf16 only after the leading-dim-collapse reshape
-            v = cp_ref[p, ds, :] - base_ref[p, ds, :]
+            # fold in f32 (Mosaic can't minor-dim-broadcast bf16); cast
+            # only after the leading-dim-collapse reshape
+            v = drift_ref[p, ds, :]
             return e_hi * v[:, :, None]
 
         pf = jnp.concatenate([piece(0), piece(2)], axis=2).reshape(
             TR * LANE, 2 * nl
-        ).astype(jnp.bfloat16)
+        )
         pr_ = jnp.concatenate([piece(1), piece(3)], axis=2).reshape(
             TR * LANE, 2 * nl
-        ).astype(jnp.bfloat16)
+        )
         accf = jax.lax.dot_general(
             e_lo_f, pf, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_HI,
         )
         accr = jax.lax.dot_general(
             e_lo_r, pr_, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_HI,
         )
         acc_ref[:] = acc_ref[:] + accf + accr
         return 0
@@ -651,34 +725,33 @@ def _merge_tiles_2d(planes_ref, cp_ref, base_ref, out_ref, acc_ref,
     acc_ref[:] = jnp.zeros_like(acc_ref)
     jax.lax.fori_loop(0, n_tiles, scatter_body, 0)
     upd = acc_ref[:] * recip_ref[:]
-    out_ref[:] = out_ref[:] + upd
-    upd_b = upd.astype(jnp.bfloat16)
+    _twosum_update(out_ref, lo_ref, upd)
 
     def bcast_body(t, _):
         r, e_hi, e_lo_f, e_lo_r = onehots(t)
         ds = pl.ds(r, TR)
-        t1f = jnp.dot(e_lo_f, upd_b, preferred_element_type=jnp.float32)
-        t1r = jnp.dot(e_lo_r, upd_b, preferred_element_type=jnp.float32)
+        t1f = jnp.dot(e_lo_f, upd, preferred_element_type=jnp.float32,
+                      precision=_HI)
+        t1r = jnp.dot(e_lo_r, upd, preferred_element_type=jnp.float32,
+                      precision=_HI)
         t1f = t1f.reshape(TR, LANE, 2 * nl)
         t1r = t1r.reshape(TR, LANE, 2 * nl)
         vxf = jnp.sum(t1f[:, :, :nl] * e_hi, axis=2)
         vyf = jnp.sum(t1f[:, :, nl:] * e_hi, axis=2)
         vxr = jnp.sum(t1r[:, :, :nl] * e_hi, axis=2)
         vyr = jnp.sum(t1r[:, :, nl:] * e_hi, axis=2)
-        # consensus collapse: base stays the exact broadcast of the node
-        # coords by induction (base' = base + upd), and the replicas reset
-        # to consensus (cp' = base') so per-slot drift restarts from zero
+        # consensus collapse: base' = base + upd stays the broadcast of
+        # the node coords by induction; drift restarts from zero
         for p, v in ((0, vxf), (1, vxr), (2, vyf), (3, vyr)):
-            nb = base_ref[p, ds, :] + v
-            base_ref[p, ds, :] = nb
-            cp_ref[p, ds, :] = nb
+            base_ref[p, ds, :] = base_ref[p, ds, :] + v
+            drift_ref[p, ds, :] = jnp.zeros((TR, LANE), jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, bcast_body, 0)
 
 
-def _merge_tiles_1d(planes_ref, cp_ref, base_ref, out_ref, acc_ref,
-                    recip_ref, n_tiles: int, nl: int):
+def _merge_tiles_1d(planes_ref, drift_ref, base_ref, out_ref, lo_ref,
+                    acc_ref, recip_ref, n_tiles: int, nl: int):
     iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
     iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
 
@@ -693,37 +766,33 @@ def _merge_tiles_1d(planes_ref, cp_ref, base_ref, out_ref, acc_ref,
             (lo[:, :, None] == iota_128)
             .astype(jnp.float32)
             .reshape(TR * LANE, LANE)
-            .astype(jnp.bfloat16)
         )
         return r, e_hi, e_lo
 
     def scatter_body(t, _):
         r, e_hi, e_lo = onehots(t)
         ds = pl.ds(r, TR)
-        v = cp_ref[0, ds, :] - base_ref[0, ds, :]
-        piece = (e_hi * v[:, :, None]).reshape(TR * LANE, nl).astype(
-            jnp.bfloat16
-        )
+        v = drift_ref[0, ds, :]
+        piece = (e_hi * v[:, :, None]).reshape(TR * LANE, nl)
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             e_lo, piece, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_HI,
         )
         return 0
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     jax.lax.fori_loop(0, n_tiles, scatter_body, 0)
     upd = acc_ref[:] * recip_ref[:]
-    out_ref[:] = out_ref[:] + upd
-    upd_b = upd.astype(jnp.bfloat16)
+    _twosum_update(out_ref, lo_ref, upd)
 
     def bcast_body(t, _):
         r, e_hi, e_lo = onehots(t)
         ds = pl.ds(r, TR)
-        t1 = jnp.dot(e_lo, upd_b, preferred_element_type=jnp.float32)
+        t1 = jnp.dot(e_lo, upd, preferred_element_type=jnp.float32,
+                     precision=_HI)
         v = jnp.sum(t1.reshape(TR, LANE, nl) * e_hi, axis=2)
-        nb = base_ref[0, ds, :] + v
-        base_ref[0, ds, :] = nb
-        cp_ref[0, ds, :] = nb
+        base_ref[0, ds, :] = base_ref[0, ds, :] + v
+        drift_ref[0, ds, :] = jnp.zeros((TR, LANE), jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, bcast_body, 0)
@@ -734,25 +803,42 @@ def _merge_tiles_1d(planes_ref, cp_ref, base_ref, out_ref, acc_ref,
 # ---------------------------------------------------------------------------
 
 
+def _stage_group_scalars(od_ref, od_smem, sem, gid):
+    """DMA the group's (o, D) chunk scalars from the HBM-resident
+    (groups, 2, cgs) array into the SMEM staging scratch.  Keeping the
+    full per-run scalar arrays out of SMEM matters: SMEM residency past
+    ~40KB collapses the whole kernel's throughput ~3x (measured on v5e);
+    HBM (untiled) is also the only space that allows the single-group
+    slice DMA."""
+    dma = pltpu.make_async_copy(od_ref.at[gid], od_smem, sem)
+    dma.start()
+    dma.wait()
+
+
 def _make_kernel_2d(cgs: int, n_tiles: int, nl: int):
     """grid = (merge groups,); one grid step = cgs chunks + one consensus
     merge.  Scalar prefetch: meta [gchunk_base, seed], o/D/eta arrays."""
 
-    def kernel(meta_ref, o_ref, d_ref, e_ref, planes_ref, cp0_ref, xy_ref,
-               recip_ref, out_ref, cp_sc, base_sc, acc_sc):
+    def kernel(meta_ref, eta_ref, od_ref, planes_ref, cp0_ref, xy_ref,
+               recip_ref, out_ref, drift_sc, base_sc, acc_sc, lo_sc,
+               od_smem, sem):
         gid = pl.program_id(0)
 
         @pl.when(gid == 0)
         def _():
-            cp_sc[:] = cp0_ref[:]
+            drift_sc[:] = jnp.zeros_like(drift_sc)
             base_sc[:] = cp0_ref[:]
             out_ref[:] = xy_ref[:]
+            lo_sc[:] = jnp.zeros_like(lo_sc)
+
+        _stage_group_scalars(od_ref, od_smem, sem, gid)
+        eta_lr = eta_ref[gid]
 
         def body(c, _):
             gl = gid * cgs + c
             _chunk_2d(
-                planes_ref, cp_sc, o_ref[gl], d_ref[gl], e_ref[gl],
-                meta_ref[0] + gl,
+                planes_ref, drift_sc, base_sc, od_smem[0, c],
+                od_smem[1, c], eta_lr, meta_ref[0] + gl,
             )
             return 0
 
@@ -760,34 +846,48 @@ def _make_kernel_2d(cgs: int, n_tiles: int, nl: int):
             jax.lax.fori_loop(0, cgs, body, 0)
         if "nomerge" not in _ABLATE:
             _merge_tiles_2d(
-                planes_ref, cp_sc, base_sc, out_ref, acc_sc, recip_ref,
-                n_tiles, nl,
+                planes_ref, drift_sc, base_sc, out_ref, lo_sc, acc_sc,
+                recip_ref, n_tiles, nl,
             )
+
+        # final group: fold the compensation plane into the output
+        @pl.when(gid == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = out_ref[:] + lo_sc[:]
 
     return kernel
 
 
 def _make_kernel_1d(cgs: int, n_tiles: int, nl: int):
-    def kernel(meta_ref, o_ref, d_ref, e_ref, planes_ref, cp0_ref, x_ref,
-               recip_ref, out_ref, cp_sc, base_sc, acc_sc):
+    def kernel(meta_ref, eta_ref, od_ref, planes_ref, cp0_ref, x_ref,
+               recip_ref, out_ref, drift_sc, base_sc, acc_sc, lo_sc,
+               od_smem, sem):
         gid = pl.program_id(0)
 
         @pl.when(gid == 0)
         def _():
-            cp_sc[:] = cp0_ref[:]
+            drift_sc[:] = jnp.zeros_like(drift_sc)
             base_sc[:] = cp0_ref[:]
             out_ref[:] = x_ref[:]
+            lo_sc[:] = jnp.zeros_like(lo_sc)
+
+        _stage_group_scalars(od_ref, od_smem, sem, gid)
+        eta_lr = eta_ref[gid]
 
         def body(c, _):
-            gl = gid * cgs + c
-            _chunk_1d(planes_ref, cp_sc, o_ref[gl], d_ref[gl], e_ref[gl])
+            _chunk_1d(planes_ref, drift_sc, base_sc, od_smem[0, c],
+                      od_smem[1, c], eta_lr)
             return 0
 
         jax.lax.fori_loop(0, cgs, body, 0)
         _merge_tiles_1d(
-            planes_ref, cp_sc, base_sc, out_ref, acc_sc, recip_ref,
-            n_tiles, nl,
+            planes_ref, drift_sc, base_sc, out_ref, lo_sc, acc_sc,
+            recip_ref, n_tiles, nl,
         )
+
+        @pl.when(gid == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = out_ref[:] + lo_sc[:]
 
     return kernel
 
@@ -796,18 +896,20 @@ def _make_kernel_1d(cgs: int, n_tiles: int, nl: int):
     jax.jit,
     static_argnames=("groups", "cgs", "n_tiles", "nl", "one_d", "interpret"),
 )
-def _pallas_call(meta, o_arr, d_arr, eta_arr, planes, cp0, xy0, recip,
+def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
                  groups: int, cgs: int, n_tiles: int, nl: int,
                  one_d: bool, interpret: bool):
     np_planes = planes.shape[0]
     pr = planes.shape[1]
     ncp = cp0.shape[0]
+    cgs_pad = od_all.shape[2]
     w = nl if one_d else 2 * nl
     kernel = (_make_kernel_1d if one_d else _make_kernel_2d)(cgs, n_tiles, nl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(groups,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # od (groups, 2, cgs), HBM
             pl.BlockSpec(
                 (np_planes, pr, LANE), lambda i, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -830,9 +932,16 @@ def _pallas_call(meta, o_arr, d_arr, eta_arr, planes, cp0, xy0, recip,
             pltpu.VMEM((ncp, pr, LANE), jnp.float32),
             pltpu.VMEM((ncp, pr, LANE), jnp.float32),
             pltpu.VMEM((LANE, w), jnp.float32),
+            pltpu.VMEM((LANE, w), jnp.float32),
+            pltpu.SMEM((2, cgs_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
-    vmem_need = (np_planes + 3 * ncp) * pr * LANE * 4 + 8 * LANE * w * 4
+    vmem_need = (
+        (np_planes + 3 * ncp) * pr * LANE * 4
+        + 8 * LANE * w * 4
+        + 2 * groups * cgs_pad * 4
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -841,7 +950,20 @@ def _pallas_call(meta, o_arr, d_arr, eta_arr, planes, cp0, xy0, recip,
             vmem_limit_bytes=min(vmem_need + 24 * 1024 * 1024, 100 * 1024 * 1024),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(meta, o_arr, d_arr, eta_arr, planes, cp0, xy0, recip)
+    )(meta, eta_g, od_all, planes, cp0, xy0, recip)
+
+
+def _pack_od(p: dict) -> np.ndarray:
+    """(groups, 2, cgs_pad) i32 chunk-scalar array; the chunk dim is
+    padded to a 128 multiple (DMA slice alignment), pad entries are
+    never read (the chunk loop bound is the unpadded cgs)."""
+    groups, cgs = p["groups"], p["cgs"]
+    cgs_pad = _pad_to(cgs, LANE)
+    od = np.zeros((groups, 2, cgs_pad), np.int32)
+    od[:, 0, :cgs] = p["o_blk"].reshape(groups, cgs)
+    od[:, 1, :cgs] = p["d_arr"].reshape(groups, cgs)
+    od[:, 1, cgs:] = 1
+    return od
 
 
 def _segments(groups: int, cgs: int):
@@ -886,25 +1008,22 @@ def path_sgd_2d_pallas(
         coords_to_node_array(np.asarray(coords0, np.float32), nl)
     )
     recip = jnp.asarray(_recip_r(g, nl, one_d=False))
-    o_arr = jnp.asarray(p["o_blk"])
-    d_arr = jnp.asarray(p["d_arr"])
-    eta_arr = jnp.asarray(p["eta_arr"])
+    cgs = p["cgs"]
+    od_all = jnp.asarray(_pack_od(p))
+    eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
 
-    for g0, n_g in _segments(p["groups"], p["cgs"]):
-        c0 = g0 * p["cgs"]
-        c1 = (g0 + n_g) * p["cgs"]
-        meta = jnp.asarray([c0, seed], jnp.int32)
+    for g0, n_g in _segments(p["groups"], cgs):
+        meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
         xy = _pallas_call(
             meta,
-            o_arr[c0:c1],
-            d_arr[c0:c1],
-            eta_arr[c0:c1],
+            eta_g[g0 : g0 + n_g],
+            od_all[g0 : g0 + n_g],
             data.planes,
             cp0,
             xy,
             recip,
             n_g,
-            p["cgs"],
+            cgs,
             n_tiles,
             nl,
             False,
@@ -948,18 +1067,16 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None,
     cp0 = jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr))
     xn = jnp.asarray(x_to_node_array(x0v, nl))
     recip = jnp.asarray(_recip_r(g, nl, one_d=True))
-    o_arr = jnp.asarray(p["o_blk"])
-    d_arr = jnp.asarray(p["d_arr"])
-    eta_arr = jnp.asarray(p["eta_arr"])
+    cgs = p["cgs"]
+    od_all = jnp.asarray(_pack_od(p))
+    eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
 
-    for g0, n_g in _segments(p["groups"], p["cgs"]):
-        c0 = g0 * p["cgs"]
-        c1 = (g0 + n_g) * p["cgs"]
-        meta = jnp.asarray([c0, seed], jnp.int32)
+    for g0, n_g in _segments(p["groups"], cgs):
+        meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
         xn = _pallas_call(
-            meta, o_arr[c0:c1], d_arr[c0:c1], eta_arr[c0:c1],
+            meta, eta_g[g0 : g0 + n_g], od_all[g0 : g0 + n_g],
             data.planes, cp0, xn, recip,
-            n_g, p["cgs"], n_tiles, nl, True, bool(interpret),
+            n_g, cgs, n_tiles, nl, True, bool(interpret),
         )
         if g0 + n_g < p["groups"]:
             host_x = node_array_to_x(np.asarray(xn), g.num_nodes)
@@ -1016,14 +1133,15 @@ def _twin_coins(gchunk):
 
 
 @partial(jax.jit, static_argnames=("cgs",), donate_argnums=(0,))
-def _twin_chunks_2d(cp, pos0, pos1, path, o_arr, d_arr, eta_arr, g0,
-                    cgs: int):
-    """One merge group of chunk updates on flat replica planes — the
-    jittable half of the twin (the consensus merge runs on the host with
-    numpy: XLA CPU compiles graph-sized scatters pathologically slowly,
-    minutes for one segment-sum)."""
+def _twin_chunks_2d(drift, base, pos0, pos1, path, o_arr, d_arr, eta_arr,
+                    g0, cgs: int):
+    """One merge group of chunk updates on flat replica planes, drift
+    form (absolute = base + drift; see _chunk_2d) — the jittable half of
+    the twin (the consensus merge runs on the host with numpy: XLA CPU
+    compiles graph-sized scatters pathologically slowly, minutes for one
+    segment-sum)."""
 
-    def chunk_body(c, cp):
+    def chunk_body(c, drift):
         gl = g0 + c
         o = o_arr[gl] * LANE
         D = d_arr[gl]
@@ -1031,8 +1149,13 @@ def _twin_chunks_2d(cp, pos0, pos1, path, o_arr, d_arr, eta_arr, g0,
         coins = _twin_coins(gl * 1000003)
         caf = (coins[0] & 1) == 0
         cbf = (coins[1] & 1) == 0
-        a = jax.lax.dynamic_slice(cp, (0, o), (4, CHUNK))
-        b = jax.lax.dynamic_slice(cp, (0, o + D), (4, CHUNK))
+        if "nocoins" in _ABLATE:
+            caf = jnp.ones_like(caf)
+            cbf = jnp.ones_like(cbf)
+        a = (jax.lax.dynamic_slice(base, (0, o), (4, CHUNK))
+             + jax.lax.dynamic_slice(drift, (0, o), (4, CHUNK)))
+        b = (jax.lax.dynamic_slice(base, (0, o + D), (4, CHUNK))
+             + jax.lax.dynamic_slice(drift, (0, o + D), (4, CHUNK)))
         pa0 = jax.lax.dynamic_slice(pos0, (o,), (CHUNK,))
         pa1 = jax.lax.dynamic_slice(pos1, (o,), (CHUNK,))
         pb0 = jax.lax.dynamic_slice(pos0, (o + D,), (CHUNK,))
@@ -1065,16 +1188,21 @@ def _twin_chunks_2d(cp, pos0, pos1, path, o_arr, d_arr, eta_arr, g0,
             jnp.where(cbf, rx, zero), jnp.where(cbf, zero, rx),
             jnp.where(cbf, ry, zero), jnp.where(cbf, zero, ry),
         ])
-        cp = jax.lax.dynamic_update_slice(
-            cp, jax.lax.dynamic_slice(cp, (0, o), (4, CHUNK)) + upd_a, (0, o)
-        )
-        cp = jax.lax.dynamic_update_slice(
-            cp, jax.lax.dynamic_slice(cp, (0, o + D), (4, CHUNK)) + upd_b,
-            (0, o + D),
-        )
-        return cp
+        if "noarmw" not in _ABLATE:
+            drift = jax.lax.dynamic_update_slice(
+                drift,
+                jax.lax.dynamic_slice(drift, (0, o), (4, CHUNK)) + upd_a,
+                (0, o),
+            )
+        if "nobrmw" not in _ABLATE:
+            drift = jax.lax.dynamic_update_slice(
+                drift,
+                jax.lax.dynamic_slice(drift, (0, o + D), (4, CHUNK)) + upd_b,
+                (0, o + D),
+            )
+        return drift
 
-    return jax.lax.fori_loop(0, cgs, chunk_body, cp)
+    return jax.lax.fori_loop(0, cgs, chunk_body, drift)
 
 
 def path_sgd_2d_strata_xla(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
@@ -1110,17 +1238,17 @@ def path_sgd_2d_strata_xla(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
     o_arr = jnp.asarray(p["o_blk"])
     d_arr = jnp.asarray(p["d_arr"])
     eta_arr = jnp.asarray(p["eta_arr"])
-    cp = jnp.asarray(_pad_planes(_step_coord_planes(g, coords0), pr).reshape(4, -1))
-    base = np.asarray(cp, np.float32).copy()
+    base_np = _pad_planes(_step_coord_planes(g, coords0), pr).reshape(4, -1)
+    base = jnp.asarray(base_np)
+    drift = jnp.zeros_like(base)
     xy = np.asarray(coords0, np.float64).copy()
 
     for gid in range(p["groups"]):
-        cp = _twin_chunks_2d(
-            cp, pos0, pos1, path, o_arr, d_arr, eta_arr,
+        drift = _twin_chunks_2d(
+            drift, base, pos0, pos1, path, o_arr, d_arr, eta_arr,
             jnp.int32(gid * p["cgs"]), p["cgs"],
         )
-        cpn = np.asarray(cp, np.float32)
-        dv = (cpn - base).astype(np.float64)
+        dv = np.asarray(drift, np.float32).astype(np.float64)
         accx = np.bincount(epf, weights=dv[0], minlength=idx_cap)
         accx += np.bincount(epr, weights=dv[1], minlength=idx_cap)
         accy = np.bincount(epf, weights=dv[2], minlength=idx_cap)
@@ -1129,25 +1257,27 @@ def path_sgd_2d_strata_xla(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
         updy = accy * recip
         xy[:, 0] += updx[: 2 * g.num_nodes]
         xy[:, 1] += updy[: 2 * g.num_nodes]
-        bc = np.stack([updx[epf], updx[epr], updy[epf], updy[epr]]).astype(
-            np.float64
-        )
-        # consensus collapse: base' = base + upd stays the broadcast of the
-        # node coords; replicas reset to it (see _merge_tiles_2d)
-        base = (base.astype(np.float64) + bc).astype(np.float32)
-        cp = jnp.asarray(base)
+        bc = np.stack(
+            [updx[epf], updx[epr], updy[epf], updy[epr]]
+        ).astype(np.float32)
+        # consensus collapse: base' = base + upd; drift restarts at zero
+        base = jnp.asarray(np.asarray(base, np.float32) + bc)
+        drift = jnp.zeros_like(base)
     return xy
 
 
 @partial(jax.jit, static_argnames=("cgs",), donate_argnums=(0,))
-def _twin_chunks_1d(cp, pos, path, o_arr, d_arr, eta_arr, g0, cgs: int):
-    def chunk_body(c, cp):
+def _twin_chunks_1d(drift, base, pos, path, o_arr, d_arr, eta_arr, g0,
+                    cgs: int):
+    def chunk_body(c, drift):
         gl = g0 + c
         o = o_arr[gl] * LANE
         D = d_arr[gl]
         eta_lr = eta_arr[gl]
-        xa = jax.lax.dynamic_slice(cp, (o,), (CHUNK,))
-        xb = jax.lax.dynamic_slice(cp, (o + D,), (CHUNK,))
+        xa = (jax.lax.dynamic_slice(base, (o,), (CHUNK,))
+              + jax.lax.dynamic_slice(drift, (o,), (CHUNK,)))
+        xb = (jax.lax.dynamic_slice(base, (o + D,), (CHUNK,))
+              + jax.lax.dynamic_slice(drift, (o + D,), (CHUNK,)))
         pa = jax.lax.dynamic_slice(pos, (o,), (CHUNK,))
         pb = jax.lax.dynamic_slice(pos, (o + D,), (CHUNK,))
         patha = jax.lax.dynamic_slice(path, (o,), (CHUNK,))
@@ -1164,15 +1294,17 @@ def _twin_chunks_1d(cp, pos, path, o_arr, d_arr, eta_arr, g0, cgs: int):
         mag = jnp.abs(dx)
         delta = mu * (mag - term) * 0.5
         rr = jnp.where(valid, delta / mag * dx, 0.0)
-        cp = jax.lax.dynamic_update_slice(
-            cp, jax.lax.dynamic_slice(cp, (o,), (CHUNK,)) - rr, (o,)
+        drift = jax.lax.dynamic_update_slice(
+            drift, jax.lax.dynamic_slice(drift, (o,), (CHUNK,)) - rr, (o,)
         )
-        cp = jax.lax.dynamic_update_slice(
-            cp, jax.lax.dynamic_slice(cp, (o + D,), (CHUNK,)) + rr, (o + D,)
+        drift = jax.lax.dynamic_update_slice(
+            drift,
+            jax.lax.dynamic_slice(drift, (o + D,), (CHUNK,)) + rr,
+            (o + D,),
         )
-        return cp
+        return drift
 
-    return jax.lax.fori_loop(0, cgs, chunk_body, cp)
+    return jax.lax.fori_loop(0, cgs, chunk_body, drift)
 
 
 def path_sgd_1d_strata_xla(g, cfg=None, x0=None) -> np.ndarray:
@@ -1207,20 +1339,23 @@ def path_sgd_1d_strata_xla(g, cfg=None, x0=None) -> np.ndarray:
     o_arr = jnp.asarray(p["o_blk"])
     d_arr = jnp.asarray(p["d_arr"])
     eta_arr = jnp.asarray(p["eta_arr"])
-    cp = jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr).reshape(-1))
-    base = np.asarray(cp, np.float32).copy()
+    base = jnp.asarray(
+        _pad_planes(_step_x_plane(g, x0v)[None, :], pr).reshape(-1)
+    )
+    drift = jnp.zeros_like(base)
     xn = x0v.astype(np.float64).copy()
 
     for gid in range(p["groups"]):
-        cp = _twin_chunks_1d(
-            cp, pos, path, o_arr, d_arr, eta_arr,
+        drift = _twin_chunks_1d(
+            drift, base, pos, path, o_arr, d_arr, eta_arr,
             jnp.int32(gid * p["cgs"]), p["cgs"],
         )
-        cpn = np.asarray(cp, np.float32)
-        dv = (cpn - base).astype(np.float64)
+        dv = np.asarray(drift, np.float32).astype(np.float64)
         acc = np.bincount(nd, weights=dv, minlength=idx_cap)
         upd = acc * recip
         xn += upd[: g.num_nodes]
-        base = (base.astype(np.float64) + upd[nd]).astype(np.float32)
-        cp = jnp.asarray(base)
+        base = jnp.asarray(
+            np.asarray(base, np.float32) + upd[nd].astype(np.float32)
+        )
+        drift = jnp.zeros_like(base)
     return xn
