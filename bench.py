@@ -1,22 +1,34 @@
-"""Headline benchmark: PG-SGD 2D layout of DRB1-3123 on one chip.
+"""Headline benchmark: PG-SGD on the reference test graphs, one chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Metric: pair-updates/second for the full `odgi layout`-default workload on
-DRB1-3123 (reference: test/DRB1-3123.gfa; 2D PG-SGD, iter_max=30,
-min_term_updates=10*steps — src/subcommand/layout_main.cpp:198,252-266),
-through the shipping dispatch (the fused Pallas strata kernel on TPU,
+Headline metric: VALID pair-updates/second for the full `odgi layout`
+default workload on DRB1-3123 (reference: test/DRB1-3123.gfa; 2D PG-SGD,
+iter_max=30, min_term_updates=10*steps — layout_main.cpp:198,252-266),
+through the shipping dispatch (the fused Pallas replica kernel on TPU,
 ops/pallas_sgd.py; XLA fallback elsewhere).
 
-Extra fields in the same line:
-  stress            converged sum_of_path_node_distances (2D/nt) — the
-                    bench FAILS (asserts) if it exceeds 1.4; the reference
-                    fixture DRB1-3123_unsorted.og.lay measures 1.2855
-  wall_cold_s       first full run including compile
-  wall_warm_s       median of 3 warm full runs
-  sort_pairs_per_sec  the 1D `odgi sort -Y` default workload rate
-  backend           jax backend that ran the bench
+Accounting is honest (round-4 change): window pairs that cross a path
+boundary are masked no-ops in the strata kernel, so the chunk count is
+compensated upward until VALID updates meet the reference's
+min_term_updates contract (ops/pallas_sgd.py:plan_run), and the reported
+rate counts ONLY valid updates.  `slots_per_sec` is the raw lane rate.
+Geometry and counts come from pallas_sgd.pairs_per_run — the same code
+path the dispatcher executes, so the two cannot diverge.
+
+Wall-clock caveat: in this environment the TPU sits behind the axon
+relay, whose per-call result-fetch round trip is tens of ms (reported as
+`rtt_s`, measured by fetching a ready 32-byte array).  The wall rates
+include it; on a directly-attached chip the sync cost is microseconds.
+
+Scenarios: DRB1-3123, chr6.C4 and LPA (all pallas-eligible), each with a
+chip-side quality gate:
+  2D: converged sum_of_path_node_distances (2D/nt) must beat a pinned
+      bar (DRB1 1.4 vs fixture 1.2855; chr6/LPA pinned from measured
+      converged values + ~10% headroom).
+  1D: nt-space distance after applying the sort order (DRB1 bar 4.952 =
+      the reference's sorted fixture).
 
 vs_baseline: ratio against 40e6 pair-updates/s, a charitable estimate of
 the multithreaded CPU reference (16 Hogwild threads x ~2.5M updates/s;
@@ -28,103 +40,128 @@ import json
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+try:
+    import odgi_tpu  # installed (pip install -e .)
+except ImportError:  # fresh checkout without install
+    sys.path.insert(0, "/root/repo")
+    import odgi_tpu
 
 from odgi_tpu.utils.env import enable_compilation_cache
 
 enable_compilation_cache()
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-import odgi_tpu
 from odgi_tpu.algorithms import stats
 from odgi_tpu.algorithms.layout import init_layout
-from odgi_tpu.ops import sgd
+from odgi_tpu.algorithms.path_sgd_sort import order_from_x
+from odgi_tpu.ops import pallas_sgd, sgd
 
 CPU_BASELINE_PAIRS_PER_SEC = 40e6
-STRESS_BAR = 1.4
+TEST_DIR = "/root/reference/test"
+STRESS_BARS_2D = {"DRB1-3123": 1.4, "chr6.C4": 2.2, "LPA": 2.1}
+DIST_BARS_1D = {"DRB1-3123": 4.952, "chr6.C4": 4.7, "LPA": 3.1}
 
 
-def main():
-    g = odgi_tpu.parse_gfa("/root/reference/test/DRB1-3123.gfa")
-    cfg = sgd.derive_config_2d(g)
+def measure_rtt() -> float:
+    x = jnp.ones(8)
+    x.block_until_ready()
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(x)
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def bench_graph(name: str):
+    g = odgi_tpu.parse_gfa(f"{TEST_DIR}/{name}.gfa")
+    out = {}
+
+    cfg2 = sgd.derive_config_2d(g)
+    use_pallas = cfg2.pallas and pallas_sgd.pallas_supported(g, cfg2)
+    out["pallas"] = bool(use_pallas)
     coords0 = init_layout(g, "d")
-
-    # how many pairs the shipping path actually runs
-    from odgi_tpu.ops import pallas_sgd
-
-    use_pallas = cfg.pallas and pallas_sgd.pallas_supported(g, cfg)
     if use_pallas:
-        nch = int(np.clip(cfg.batch_size // pallas_sgd.CHUNK, 1, 64))
-        nb = pallas_sgd._num_batches(cfg, nch)
-        total_pairs = cfg.iter_max * nb * nch * pallas_sgd.CHUNK
+        acct = pallas_sgd.pairs_per_run(g, cfg2)
+        slots, valid = acct["slots"], acct["valid"]
     else:
-        total_pairs = cfg.iter_max * cfg.num_batches * cfg.batch_size
+        slots = valid = cfg2.iter_max * cfg2.num_batches * cfg2.batch_size
 
     t0 = time.time()
-    out = sgd.path_sgd_2d(g, coords0, cfg)
-    wall_cold = time.time() - t0
-
-    times = []
+    c = sgd.path_sgd_2d(g, coords0, cfg2)
+    out["wall_cold_s"] = round(time.time() - t0, 3)
+    walls = []
     for _ in range(3):
         t0 = time.time()
-        out = sgd.path_sgd_2d(g, coords0, cfg)
-        times.append(time.time() - t0)
-    wall_warm = float(np.median(times))
-    pairs_per_sec = total_pairs / wall_warm
+        c = sgd.path_sgd_2d(g, coords0, cfg2)
+        walls.append(time.time() - t0)
+    warm = float(np.median(walls))
+    out["wall_warm_s"] = round(warm, 4)
+    out["slots_per_sec"] = round(slots / warm)
+    out["valid_pairs_per_sec"] = round(valid / warm)
+    out["valid_frac"] = round(valid / max(slots, 1), 4)
 
-    # quality gate ON CHIP: a perf hack that destroys the layout fails here
-    c = np.asarray(out, np.float64).reshape(-1, 2)
-    r = stats.sum_of_path_node_distances(g, (c[:, 0], c[:, 1]))
-    stress = float(r.all_2d_by_nucleotides)
-    assert np.isfinite(c).all(), "layout produced non-finite coords"
-    assert stress <= STRESS_BAR, (
-        f"converged stress {stress:.4f} exceeds the {STRESS_BAR} bar "
-        f"(fixture: 1.2855) — quality regression"
+    c = np.asarray(c, np.float64).reshape(-1, 2)
+    assert np.isfinite(c).all(), f"{name}: non-finite layout coords"
+    s = float(
+        stats.sum_of_path_node_distances(g, (c[:, 0], c[:, 1])).all_2d_by_nucleotides
+    )
+    out["stress"] = round(s, 4)
+    bar = STRESS_BARS_2D[name]
+    assert s <= bar, (
+        f"{name}: converged 2D stress {s:.4f} exceeds the {bar} bar — "
+        f"quality regression"
     )
 
-    # secondary: the 1D sort default workload, with its own quality gate
-    # (fixture DRB1-3123_sorted.og measures 4.952 nt-space distance)
-    from odgi_tpu.algorithms.path_sgd_sort import order_from_x
-
     cfg1 = sgd.derive_config_1d(g)
+    if cfg1.pallas and pallas_sgd.pallas_supported_1d(g, cfg1):
+        acct1 = pallas_sgd.pairs_per_run(g, cfg1, one_d=True)
+        valid1 = acct1["valid"]
+    else:
+        valid1 = cfg1.iter_max * cfg1.num_batches * cfg1.batch_size
     x1 = sgd.path_sgd_1d(g, cfg1)  # compile
     t0 = time.time()
     x1 = sgd.path_sgd_1d(g, cfg1)
     sort_wall = time.time() - t0
-    from odgi_tpu.ops import pallas_sgd as _ps
-
-    if cfg1.pallas and _ps.pallas_supported_1d(g, cfg1):
-        nch1 = int(np.clip(cfg1.batch_size // _ps.CHUNK, 1, 64))
-        nb1 = _ps._num_batches(cfg1, nch1)
-        sort_pairs = cfg1.iter_max * nb1 * nch1 * _ps.CHUNK
-    else:
-        sort_pairs = cfg1.iter_max * cfg1.num_batches * cfg1.batch_size
-    sort_rate = sort_pairs / sort_wall
-    g_sorted = g.apply_ordering(order_from_x(g, x1))
-    sort_dist = float(stats.sum_of_path_node_distances(g_sorted).all_nt_space)
-    assert sort_dist <= 4.952, (
-        f"1D sort nt-distance {sort_dist:.3f} exceeds the reference "
-        f"fixture (4.952) — sort quality regression"
+    out["sort_valid_pairs_per_sec"] = round(valid1 / sort_wall)
+    g2 = g.apply_ordering(order_from_x(g, x1))
+    d = float(stats.sum_of_path_node_distances(g2).all_nt_space)
+    out["sort_dist"] = round(d, 4)
+    bar1 = DIST_BARS_1D[name]
+    assert d <= bar1, (
+        f"{name}: 1D sort nt-distance {d:.4f} exceeds the {bar1} bar — "
+        f"sort quality regression"
     )
+    return out
 
+
+def main():
+    rtt = measure_rtt()
+    graphs = {}
+    for name in ("DRB1-3123", "chr6.C4", "LPA"):
+        graphs[name] = bench_graph(name)
+
+    drb = graphs["DRB1-3123"]
+    rate = drb["valid_pairs_per_sec"]
     print(
         json.dumps(
             {
-                "metric": "pgsgd_2d_pair_updates_per_sec_drb1",
-                "value": round(pairs_per_sec),
+                "metric": "pgsgd_2d_valid_pair_updates_per_sec_drb1",
+                "value": rate,
                 "unit": "pairs/s",
-                "vs_baseline": round(
-                    pairs_per_sec / CPU_BASELINE_PAIRS_PER_SEC, 3
-                ),
-                "stress": round(stress, 4),
-                "wall_cold_s": round(wall_cold, 3),
-                "wall_warm_s": round(wall_warm, 3),
-                "sort_pairs_per_sec": round(sort_rate),
-                "sort_dist": round(sort_dist, 4),
-                "pallas": bool(use_pallas),
+                "vs_baseline": round(rate / CPU_BASELINE_PAIRS_PER_SEC, 3),
+                "stress": drb["stress"],
+                "wall_cold_s": drb["wall_cold_s"],
+                "wall_warm_s": drb["wall_warm_s"],
+                "sort_pairs_per_sec": drb["sort_valid_pairs_per_sec"],
+                "sort_dist": drb["sort_dist"],
+                "pallas": drb["pallas"],
                 "backend": jax.default_backend(),
+                "rtt_s": round(rtt, 4),
+                "graphs": graphs,
             }
         )
     )
