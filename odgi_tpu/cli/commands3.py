@@ -447,9 +447,14 @@ def register(sub):
     p.add_argument("-b", "--bed-targets", required=True)
     p.set_defaults(fn=cmd_procbed)
 
+    # flag parity with the reference drivers (pathindex_main.cpp:21-30,
+    # stepindex_main.cpp:22-36): -t/--threads and -P/--progress accepted
+    # (-t is a no-op under XLA's own threading; -P drives ProgressMeter)
     p = sub.add_parser("pathindex", help="build positional path index (.xpt)")
-    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-i", "--input", "--idx", required=True, dest="input")
     p.add_argument("-o", "--out", required=True)
+    p.add_argument("-t", "--threads", type=int, default=0)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_pathindex)
 
     p = sub.add_parser("stepindex", help="build step index (.stpidx)")
@@ -458,6 +463,8 @@ def register(sub):
     p.add_argument(
         "-a", "--step-index-sample-rate", type=int, default=8
     )
+    p.add_argument("-t", "--threads", type=int, default=0)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_stepindex)
 
     p = sub.add_parser("server", help="HTTP path:pos -> pangenome pos server")

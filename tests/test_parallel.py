@@ -114,3 +114,70 @@ def test_psum_merge_equals_concatenated_big_batch(graph):
         X0 + acc[:, 0] / jnp.maximum(acc[:, 1], 1.0)
     )
     np.testing.assert_allclose(out_sharded, out_single, rtol=1e-5, atol=1e-3)
+
+
+def test_local_acc_equals_shipping_update_1d(graph):
+    """Round-3 verdict #6a: the sharded building block (_local_acc_1d)
+    must reproduce the SHIPPING single-device update (ops.sgd._update_1d)
+    when mean-merged — not merely agree with itself.  Same key, same
+    window: X + acc/max(count,1) == _update_1d output."""
+    import jax.numpy as jnp
+    from odgi_tpu.ops.sgd import _update_1d
+    from odgi_tpu.parallel.sharded import _local_acc_1d
+
+    g = graph
+    cfg = sgd.derive_config_1d(g, iter_max=1, batch_size=2048)
+    data = sgd.SgdData.build(
+        g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step
+    )
+    X0 = jnp.asarray(g.node_offset.astype(np.float32))
+    key = jax.random.fold_in(jax.random.key(cfg.seed, impl=cfg.rng_impl), 3)
+    eta = jnp.float32(7.5)
+    shipped, _ = _update_1d(X0, key, 17, data, cfg, eta, False)
+    acc = _local_acc_1d(X0, key, 17, data, cfg, eta, False)
+    merged = X0 + acc[:, 0] / jnp.maximum(acc[:, 1], 1.0)
+    np.testing.assert_allclose(
+        np.asarray(shipped), np.asarray(merged), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_local_acc_equals_shipping_update_2d(graph):
+    from odgi_tpu.ops.sgd import _update_2d
+    from odgi_tpu.parallel.sharded import _local_acc_2d
+    import jax.numpy as jnp
+
+    g = graph
+    cfg = sgd.derive_config_2d(g, iter_max=1, batch_size=2048)
+    data = sgd.SgdData.build(
+        g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step
+    )
+    rng = np.random.default_rng(0)
+    c0 = jnp.asarray(rng.random((2 * g.num_nodes, 2)).astype(np.float32) * 100)
+    key = jax.random.fold_in(jax.random.key(cfg.seed, impl=cfg.rng_impl), 5)
+    eta = jnp.float32(3.25)
+    shipped, _ = _update_2d(c0, key, 33, data, cfg, eta, False)
+    acc = _local_acc_2d(c0, key, 33, data, cfg, eta, False)
+    merged = c0 + acc[:, :2] / jnp.maximum(acc[:, 2:], 1.0)
+    np.testing.assert_allclose(
+        np.asarray(shipped), np.asarray(merged), rtol=1e-5, atol=1e-4
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon") or len(jax.devices()) < 2,
+    reason="needs >=2 real TPU devices",
+)
+def test_sharded_sort_on_real_tpu_mesh(graph):
+    """Round-3 verdict #6c: exercised only on real multi-chip hardware
+    (the CPU suite covers the same path on the 8-virtual-device mesh)."""
+    from odgi_tpu.parallel.sharded import sharded_sort_order
+    from odgi_tpu.algorithms import stats
+
+    g = graph
+    cfg = sgd.derive_config_1d(g, iter_max=10, batch_size=2048)
+    order = sharded_sort_order(g, cfg=cfg)
+    g2 = g.apply_ordering(order, compact_ids=True)
+    assert (
+        stats.sum_of_path_node_distances(g2).all_nt_space
+        < stats.sum_of_path_node_distances(g).all_nt_space
+    )
