@@ -91,6 +91,7 @@ def main():
         if base_rate is None:
             base_rate = rate / n  # per-device rate at the first count
         eff = rate / (base_rate * n)  # efficiency vs linear scaling
+        backend = jax.default_backend()
         print(
             json.dumps(
                 {
@@ -99,6 +100,13 @@ def main():
                     "pairs_per_sec": round(rate),
                     "wall_s": round(dt, 3),
                     "scaling_efficiency": round(eff, 3),
+                    "backend": backend,
+                    "host_cores": os.cpu_count(),
+                    # virtual CPU devices share the host cores, so wall
+                    # time necessarily grows once devices > cores: these
+                    # numbers validate the mesh/collective CODE PATHS,
+                    # not ICI scaling (which needs a real pod slice)
+                    "measures_ici": backend not in ("cpu",),
                 }
             ),
             flush=True,
