@@ -459,14 +459,24 @@ def cmd_sort(args):
                         )
                         return 1
     if pipeline:
-        g = sort_pipeline(
-            g,
-            pipeline,
-            progress=bool(getattr(args, "progress", False)),
-            sgd_overrides=sgd_overrides or None,
-            target_paths=target_paths,
-            snapshot_prefix=getattr(args, "sgd_snapshot", None),
-        )
+        from ..utils.metrics import StepMetrics, maybe_profile
+
+        metrics = None
+        if getattr(args, "metrics", None):
+            metrics = StepMetrics(args.metrics, "sort1d")
+        with maybe_profile(getattr(args, "profile", None)):
+            g = sort_pipeline(
+                g,
+                pipeline,
+                progress=bool(getattr(args, "progress", False)),
+                sgd_overrides=sgd_overrides or None,
+                target_paths=target_paths,
+                snapshot_prefix=getattr(args, "sgd_snapshot", None),
+            )
+        if metrics is not None:
+            metrics.record_summary(pipeline=pipeline, nodes=int(g.num_nodes),
+                                   steps=int(g.num_steps))
+            metrics.write()
     if args.paths_min:
         g = g.keep_paths(prefix_and_id_ordered_paths(g, args.path_delim or ""))
     if args.paths_max:
@@ -561,11 +571,31 @@ def cmd_layout(args):
             if it + 1 >= _m.total:
                 _m.finish()
 
+    metrics = None
+    if getattr(args, "metrics", None):
+        from ..utils.metrics import StepMetrics
+
+        metrics = StepMetrics(args.metrics, "layout2d")
+        _prev_cb = snapshot_cb
+
+        def snapshot_cb(it, coords, _p=_prev_cb, _m=metrics):
+            _m.record_iteration(it, coords)
+            if _p is not None:
+                _p(it, coords)
+
+    from ..utils.metrics import maybe_profile
+
     cfg = derive_config_2d(g, **overrides)
-    coords = layout_graph(
-        g, cfg, init_mode=args.init, use_paths=use_paths,
-        snapshot_cb=snapshot_cb,
-    )
+    with maybe_profile(getattr(args, "profile", None)):
+        coords = layout_graph(
+            g, cfg, init_mode=args.init, use_paths=use_paths,
+            snapshot_cb=snapshot_cb,
+        )
+    if metrics is not None:
+        metrics.record_summary(
+            iter_max=cfg.iter_max, min_term_updates=cfg.min_term_updates
+        )
+        metrics.write()
     if args.out:
         save_layout(coords, args.out)
     if args.tsv:
@@ -787,6 +817,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-H", "--target-paths", dest="sgd_target_paths", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-P", "--progress", action="store_true")
+    p.add_argument("--metrics", default=None, metavar="FILE",
+                   help="write JSONL run metrics (see utils/metrics.py)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the optimization")
     p.set_defaults(fn=cmd_sort)
 
     p = sub.add_parser("layout", help="2D PG-SGD layout")
@@ -815,6 +849,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-u", "--path-sgd-snapshot", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-P", "--progress", action="store_true")
+    p.add_argument("--metrics", default=None, metavar="FILE",
+                   help="write JSONL per-iteration metrics (forces the "
+                        "per-iteration driver)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the optimization")
     p.set_defaults(fn=cmd_layout)
 
     p = sub.add_parser("paths", help="path information")
