@@ -104,8 +104,11 @@ MAX_CGS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CGS", "2048"))
 # launch granularity).  >1 merges more often (less replica staleness,
 # more merge overhead).
 MERGES_PER_ITER = int(os.environ.get("ODGI_TPU_PALLAS_MPI", "1"))
-# VMEM budget for the resident planes (static + cp + base), bytes.
-VMEM_BUDGET = int(os.environ.get("ODGI_TPU_PALLAS_VMEM", str(24 * 1024 * 1024)))
+# VMEM budget for the resident planes (static + drift + base), bytes.
+# v5e exposes ~128MB of VMEM (probed: 120MB scratch compiles and runs);
+# 110MB leaves room for the node arrays, merge-tile transients and the
+# chunk-scalar array.  1D fits ~5M steps resident, 2D ~2M.
+VMEM_BUDGET = int(os.environ.get("ODGI_TPU_PALLAS_VMEM", str(110 * 1024 * 1024)))
 
 _ABLATE = os.environ.get("ODGI_TPU_PALLAS_ABLATE", "")
 _DATA_CACHE: dict = {}
@@ -965,6 +968,8 @@ def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # static planes + cp0 input + drift + base scratches, node arrays,
+    # chunk scalars
     vmem_need = (
         (np_planes + 3 * ncp) * pr * LANE * 4
         + 8 * LANE * w * 4
@@ -975,7 +980,9 @@ def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((LANE, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_need + 24 * 1024 * 1024, 100 * 1024 * 1024),
+            vmem_limit_bytes=min(
+                vmem_need + 24 * 1024 * 1024, 127 * 1024 * 1024
+            ),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(meta, eta_g, od_all, planes, cp0, xy0, recip)
@@ -1148,7 +1155,8 @@ def _supported(g, cfg, one_d: bool) -> bool:
     pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, TR * LANE)
     np_planes = 3 if one_d else 4
     ncp = 1 if one_d else 4
-    vmem = (np_planes + 3 * ncp) * pad * 4
+    # resident: static planes (input) + drift + base scratches
+    vmem = (np_planes + 2 * ncp) * pad * 4
     return vmem < VMEM_BUDGET
 
 

@@ -1,0 +1,135 @@
+"""Chromosome-scale Pallas PG-SGD check (round-3 verdict #4).
+
+Builds a synthetic pangenome-shaped graph with >= 5M steps (deep path
+coverage over ~10k nodes — the step:node ratio of real chromosome
+pangenomes), runs the fused Pallas path and the XLA fallback on the SAME
+graph, and reports both rates.  Done-criterion: the Pallas path runs
+(pallas_supported == True at this scale — v5e's ~128MB VMEM holds the
+step planes resident; see ops/pallas_sgd.py VMEM_BUDGET) and beats the
+fallback's pair rate.
+
+Usage: python tools/bigscale_bench.py [--steps 5200000] [--nodes 10000]
+Prints one JSON line per configuration.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+try:
+    import odgi_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from odgi_tpu.utils.env import enable_compilation_cache
+
+enable_compilation_cache()
+
+import numpy as np
+
+from odgi_tpu.core.graph import GraphTensors
+
+
+def synth_graph(num_steps: int, num_nodes: int, path_steps: int,
+                seed: int = 11) -> GraphTensors:
+    """Deep-coverage synthetic graph: P paths of `path_steps` steps each
+    random-walking over `num_nodes` 1bp nodes with mixed orientations
+    (node_len=1 keeps nucleotide positions == step ranks, bounding the
+    Zipf space and the position-plane width)."""
+    rng = np.random.default_rng(seed)
+    P = -(-num_steps // path_steps)
+    S = P * path_steps
+    node_len = np.ones(num_nodes, np.int64)
+    seq_offset = np.arange(num_nodes + 1, dtype=np.int64)
+    seq = np.full(num_nodes, ord("A"), np.uint8)
+    node_id = np.arange(1, num_nodes + 1, dtype=np.int64)
+
+    # random walk with +-3 locality per path (real paths are locally
+    # monotone in a sorted graph; locality also gives valid short jumps)
+    steps = rng.integers(-3, 4, size=S).reshape(P, path_steps)
+    steps[:, 0] = rng.integers(0, num_nodes, P)
+    node = np.clip(np.cumsum(steps, axis=1), 0, num_nodes - 1).reshape(-1)
+    orient = rng.integers(0, 2, S)
+    step_handle = (node << 1) | orient
+    path_offset = np.arange(P + 1, dtype=np.int64) * path_steps
+    step_pos = np.tile(np.arange(path_steps, dtype=np.int64), P)
+
+    # edges: consecutive distinct nodes (canonicalized, deduped)
+    a = step_handle[:-1].copy()
+    b = step_handle[1:].copy()
+    keep = (np.arange(1, S) % path_steps) != 0
+    a, b = a[keep], b[keep]
+    e = np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)], 1), axis=0)
+
+    return GraphTensors(
+        node_len=node_len,
+        seq_offset=seq_offset,
+        seq=seq,
+        node_id=node_id,
+        edge_from=e[:, 0],
+        edge_to=e[:, 1],
+        path_names=tuple(f"p{i}" for i in range(P)),
+        path_circular=np.zeros(P, bool),
+        path_offset=path_offset,
+        step_handle=step_handle,
+        step_pos=step_pos,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5_200_000)
+    ap.add_argument("--nodes", type=int, default=10_000)
+    ap.add_argument("--path-steps", type=int, default=50_000)
+    ap.add_argument("--iters", type=int, default=3,
+                    help="iterations for the rate measurement (full "
+                         "schedules take minutes at this scale)")
+    args = ap.parse_args()
+
+    import jax
+
+    from odgi_tpu.ops import pallas_sgd as ps
+    from odgi_tpu.ops import sgd
+
+    g = synth_graph(args.steps, args.nodes, args.path_steps)
+    print(json.dumps({"graph": "synthetic", "nodes": g.num_nodes,
+                      "steps": g.num_steps, "paths": g.num_paths}),
+          flush=True)
+
+    cfg = sgd.derive_config_1d(g, iter_max=args.iters)
+    sup = ps.pallas_supported_1d(g, cfg)
+    out = {"dim": 1, "iters": args.iters, "pallas_supported": bool(sup),
+           "backend": jax.default_backend()}
+    if sup:
+        p = ps.plan_run(g, cfg, one_d=True)
+        t0 = time.time()
+        x = ps.path_sgd_1d_pallas(g, cfg, interpret=False)
+        out["pallas_cold_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        x = ps.path_sgd_1d_pallas(g, cfg, interpret=False)
+        dt = time.time() - t0
+        out["pallas_wall_s"] = round(dt, 2)
+        out["pallas_valid_pairs_per_sec"] = round(p["total_valid"] / dt)
+        out["finite"] = bool(np.isfinite(x).all())
+
+    cfgf = sgd.derive_config_1d(g, iter_max=args.iters, pallas=False)
+    t0 = time.time()
+    xf = sgd.path_sgd_1d(g, cfgf)
+    out["xla_cold_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    xf = sgd.path_sgd_1d(g, cfgf)
+    dtf = time.time() - t0
+    pairs_f = cfgf.iter_max * cfgf.num_batches * cfgf.batch_size
+    out["xla_wall_s"] = round(dtf, 2)
+    out["xla_pairs_per_sec"] = round(pairs_f / dtf)
+    if sup:
+        out["speedup_vs_xla"] = round(
+            out["pallas_valid_pairs_per_sec"] / out["xla_pairs_per_sec"], 2
+        )
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
