@@ -86,6 +86,7 @@ def main():
     ap.add_argument("--iters", type=int, default=3,
                     help="iterations for the rate measurement (full "
                          "schedules take minutes at this scale)")
+    ap.add_argument("--dim", type=int, default=1, choices=(1, 2))
     args = ap.parse_args()
 
     import jax
@@ -98,28 +99,41 @@ def main():
                       "steps": g.num_steps, "paths": g.num_paths}),
           flush=True)
 
-    cfg = sgd.derive_config_1d(g, iter_max=args.iters)
-    sup = ps.pallas_supported_1d(g, cfg)
-    out = {"dim": 1, "iters": args.iters, "pallas_supported": bool(sup),
-           "backend": jax.default_backend()}
+    one_d = args.dim == 1
+    derive = sgd.derive_config_1d if one_d else sgd.derive_config_2d
+    supported = ps.pallas_supported_1d if one_d else ps.pallas_supported
+    cfg = derive(g, iter_max=args.iters)
+    sup = supported(g, cfg)
+    out = {"dim": args.dim, "iters": args.iters,
+           "pallas_supported": bool(sup), "backend": jax.default_backend()}
+    if one_d:
+        run_pallas = lambda: ps.path_sgd_1d_pallas(g, cfg, interpret=False)
+        run_xla = lambda c: sgd.path_sgd_1d(g, c)
+    else:
+        from odgi_tpu.algorithms.layout import init_layout
+
+        c0 = init_layout(g, "d")
+        run_pallas = lambda: ps.path_sgd_2d_pallas(g, c0, cfg,
+                                                   interpret=False)
+        run_xla = lambda c: sgd.path_sgd_2d(g, c0, c)
     if sup:
-        p = ps.plan_run(g, cfg, one_d=True)
+        p = ps.plan_run(g, cfg, one_d=one_d)
         t0 = time.time()
-        x = ps.path_sgd_1d_pallas(g, cfg, interpret=False)
+        x = run_pallas()
         out["pallas_cold_s"] = round(time.time() - t0, 1)
         t0 = time.time()
-        x = ps.path_sgd_1d_pallas(g, cfg, interpret=False)
+        x = run_pallas()
         dt = time.time() - t0
         out["pallas_wall_s"] = round(dt, 2)
         out["pallas_valid_pairs_per_sec"] = round(p["total_valid"] / dt)
-        out["finite"] = bool(np.isfinite(x).all())
+        out["finite"] = bool(np.isfinite(np.asarray(x)).all())
 
-    cfgf = sgd.derive_config_1d(g, iter_max=args.iters, pallas=False)
+    cfgf = derive(g, iter_max=args.iters, pallas=False)
     t0 = time.time()
-    xf = sgd.path_sgd_1d(g, cfgf)
+    xf = run_xla(cfgf)
     out["xla_cold_s"] = round(time.time() - t0, 1)
     t0 = time.time()
-    xf = sgd.path_sgd_1d(g, cfgf)
+    xf = run_xla(cfgf)
     dtf = time.time() - t0
     pairs_f = cfgf.iter_max * cfgf.num_batches * cfgf.batch_size
     out["xla_wall_s"] = round(dtf, 2)
