@@ -86,7 +86,11 @@ from .zipf import zeta_eta_table
 LANE = 128
 RC = int(os.environ.get("ODGI_TPU_PALLAS_RC", "8"))  # sublane rows per chunk
 CHUNK = RC * LANE      # pairs per chunk (one shared jump distance)
-TR = 32                # merge tile rows (TR*128 steps per merge tile)
+# Merge tile rows (TR*128 steps per consensus-merge tile).  Measured
+# perf-neutral between 32 and 64 on chr6 (the merge is bound by real
+# VPU/MXU work over the whole step table, not per-tile overhead); 32
+# keeps transients small near the VMEM capacity ceiling.
+TR = int(os.environ.get("ODGI_TPU_PALLAS_TR", "32"))
 _POS, _POSEND, _HANDLE, _PATH = range(4)
 _P1_POS, _P1_HANDLE, _P1_PATH = range(3)  # 1D planes (no pos_end)
 
