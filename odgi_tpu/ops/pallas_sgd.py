@@ -680,6 +680,11 @@ def _dot2(e_lo_b, piece, dims):
     """2-pass hi/lo bf16 dot: exact one-hot operand x value operand split
     as v = hi + lo with bf16 rounding at each level (~2^-16 relative)."""
     ph = piece.astype(jnp.bfloat16)
+    if "dots1" in _ABLATE:  # timing ablation: single bf16 pass
+        return jax.lax.dot_general(
+            e_lo_b, ph, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
     plo = (piece - ph.astype(jnp.float32)).astype(jnp.bfloat16)
     a = jax.lax.dot_general(
         e_lo_b, ph, dimension_numbers=dims,
@@ -721,7 +726,10 @@ def _merge_tiles_2d(planes_ref, drift_ref, base_ref, out_ref, lo_ref,
 
     def onehots(t):
         r = t * TR
-        h = planes_ref[_HANDLE, pl.ds(r, TR), :]
+        if "onehot0" in _ABLATE:  # timing ablation: loop-invariant build
+            h = planes_ref[_HANDLE, 0:TR, :]
+        else:
+            h = planes_ref[_HANDLE, pl.ds(r, TR), :]
         epf = 2 * jax.lax.shift_right_logical(h, 1) + (h & 1)
         hi = jax.lax.shift_right_logical(epf, 7)
         lof = epf & (LANE - 1)
