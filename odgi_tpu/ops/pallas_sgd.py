@@ -1015,13 +1015,19 @@ def _pack_od(p: dict) -> np.ndarray:
 def _segments(groups: int, cgs: int):
     """Split the run into dispatches of <= MAX_CHUNKS chunks at merge
     group boundaries (results are split-invariant: the coin stream is
-    keyed by the global chunk index carried in the meta array)."""
+    keyed by the global chunk index carried in the meta array).
+
+    Segments are sized EQUALLY (not greedy): a ragged tail segment has a
+    different grid size and pays a full Mosaic recompile (~2 min at 5M
+    steps — measured to dominate the whole run)."""
     gps = max(1, min(groups, MAX_CHUNKS // cgs))
+    n_seg = -(-groups // gps)
+    size = -(-groups // n_seg)
     segs = []
     g0 = 0
     while g0 < groups:
-        segs.append((g0, min(gps, groups - g0)))
-        g0 += gps
+        segs.append((g0, min(size, groups - g0)))
+        g0 += size
     return segs
 
 

@@ -46,10 +46,15 @@ def synth_graph(num_steps: int, num_nodes: int, path_steps: int,
     seq = np.full(num_nodes, ord("A"), np.uint8)
     node_id = np.arange(1, num_nodes + 1, dtype=np.int64)
 
-    # random walk with +-3 locality per path (real paths are locally
-    # monotone in a sorted graph; locality also gives valid short jumps)
-    steps = rng.integers(-3, 4, size=S).reshape(P, path_steps)
-    steps[:, 0] = rng.integers(0, num_nodes, P)
+    # near-monotone walk per path (real haplotypes traverse a sorted
+    # graph mostly forward with occasional stalls/backtracks); each path
+    # spans the full node range so deep coverage stays pangenome-shaped
+    adv = num_nodes / path_steps
+    steps = rng.choice(
+        [0, 1, 2, -1], size=S,
+        p=[max(1 - adv - 0.1, 0.0), adv + 0.05, 0.025, 0.025],
+    ).reshape(P, path_steps)
+    steps[:, 0] = 0
     node = np.clip(np.cumsum(steps, axis=1), 0, num_nodes - 1).reshape(-1)
     orient = rng.integers(0, 2, S)
     step_handle = (node << 1) | orient
