@@ -101,8 +101,12 @@ _P1_POS, _P1_HANDLE, _P1_PATH = range(3)  # 1D planes (no pos_end)
 MAX_CHUNKS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CHUNKS", "262144"))
 # Max chunks per merge group: the group's (o, D) scalars are DMA-staged
 # into an SMEM scratch per group; large SMEM residency collapses kernel
-# throughput (measured ~3x cliff past ~40KB), so groups stay small.
-MAX_CGS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CGS", "2048"))
+# throughput (measured ~3x cliff past ~40KB), so the staging buffer stays
+# at 32KB (2 x 4096 x i32).  4096 keeps chr6/LPA-sized iterations in ONE
+# merge group (the per-iteration consensus contract) — measured both
+# faster (chr6 device 96 -> 56ms) and slightly better converged than the
+# forced twice-per-iteration split at 2048.
+MAX_CGS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CGS", "4096"))
 # Merge groups per iteration (1 = consensus once per iteration, the CUDA
 # launch granularity).  >1 merges more often (less replica staleness,
 # more merge overhead).
