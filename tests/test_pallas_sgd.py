@@ -289,3 +289,16 @@ def test_twin_untouched_nodes_frozen(synth_graph):
     # nodes 31..39 have no steps: exactly at the seeded offsets
     assert np.array_equal(x[30:], g.node_offset.astype(np.float64)[30:])
     assert np.abs(x[:30] - g.node_offset[:30]).max() > 0
+
+
+def test_segments_are_equal_sized():
+    """Ragged tail segments recompile the kernel (different grid size);
+    _segments must divide merge groups evenly."""
+    for groups, cgs in [(300, 1882), (7, 4096), (100, 100), (1, 10)]:
+        segs = ps._segments(groups, cgs)
+        assert sum(n for _, n in segs) == groups
+        assert all(g0 == sum(n for _, n in segs[:i])
+                   for i, (g0, _) in enumerate(segs))
+        sizes = {n for _, n in segs}
+        assert len(sizes) <= 2 and max(sizes) - min(sizes) <= 1, segs
+        assert all(n * cgs <= ps.MAX_CHUNKS for _, n in segs)
