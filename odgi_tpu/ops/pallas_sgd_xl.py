@@ -1,0 +1,435 @@
+"""HBM-streaming variant of the replica PG-SGD kernel (2D) for graphs
+whose step planes exceed VMEM (~1.7M steps for 2D at v5e's 128MB; see
+ops/pallas_sgd.py for the resident variant and the shared semantics).
+
+Differences from the resident kernel:
+
+- The static planes, drift planes and base planes live in HBM
+  (`memory_space=ANY`); drift and base are input/output-aliased so their
+  state persists across merge groups within one dispatch.
+- Each chunk DMAs its A/B windows into VMEM scratch, computes the same
+  pair updates, and DMAs the modified drift windows back.  When the two
+  windows overlap or nearly so (jump D < 2*CHUNK — the common case after
+  cooling), the chunk operates on ONE union window so no write-back can
+  drop the other side's contribution; far jumps use two disjoint
+  windows.  Chunks are serialized (write-back completes before the next
+  chunk's reads), trading peak throughput for correctness — still ~two
+  orders of magnitude over the XLA fallback at this scale.
+- The consensus merge streams tiles: pass 1 DMAs (handle, drift) tiles
+  and folds the one-hot scatter into the VMEM node accumulator; pass 2
+  DMAs base tiles, adds the broadcast update, writes base back and
+  zeroes the drift tile.
+
+Sampling, update math, coins, accounting and the host twin are shared
+with ops/pallas_sgd.py (the `plan_run` geometry and
+`path_sgd_2d_strata_xla` apply unchanged).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_sgd import (
+    CHUNK,
+    LANE,
+    RC,
+    TR,
+    _POS,
+    _POSEND,
+    _HANDLE,
+    _PATH,
+    _dot2,
+    _DIMS_SCATTER,
+    _DIMS_BCAST,
+    _pack_od,
+    _pad_planes,
+    _pad_to,
+    _pair_coins,
+    _recip_r,
+    _segments,
+    _stage_group_scalars,
+    _step_coord_planes,
+    _twosum_update,
+    coords_to_node_array,
+    node_array_to_coords,
+    plan_run,
+)
+
+# union window rows for near jumps: covers D < 2*CHUNK
+_UW = 4 * RC
+
+
+def _compute_pair(pa, pb, ca_, cb_, eta_lr, gchunk_global):
+    """Shared pair math on already-gathered (4, RC, 128) A/B windows of
+    (planes, absolute coords); returns (va, vb) drift contributions.
+    Identical math to pallas_sgd._chunk_2d (reference: layout.cu:141-188).
+    """
+    pa0, pa1, patha = pa[_POS], pa[_POSEND], pa[_PATH]
+    pb0, pb1, pathb = pb[_POS], pb[_POSEND], pb[_PATH]
+    xfa, xra, yfa, yra = ca_[0], ca_[1], ca_[2], ca_[3]
+    xfb, xrb, yfb, yrb = cb_[0], cb_[1], cb_[2], cb_[3]
+
+    coins = _pair_coins(gchunk_global * 1000003 + 0)
+    caf = (coins[0] & 1) == 0
+    cbf = (coins[1] & 1) == 0
+
+    pos_a = jnp.where(caf, pa0, pa1)
+    pos_b = jnp.where(cbf, pb0, pb1)
+    xa = jnp.where(caf, xfa, xra)
+    ya = jnp.where(caf, yfa, yra)
+    xb = jnp.where(cbf, xfb, xrb)
+    yb = jnp.where(cbf, yfb, yrb)
+    valid = jnp.logical_and(patha == pathb, patha >= 0)
+
+    term = jnp.maximum(jnp.abs(pos_a - pos_b).astype(jnp.float32), 1e-9)
+    mu = jnp.minimum(eta_lr / term, 1.0)
+    dx = xa - xb
+    dx = jnp.where(dx == 0.0, 1e-9, dx)
+    dy = ya - yb
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    delta = mu * (mag - term) * 0.5
+    r = jnp.where(valid, delta / mag, 0.0)
+    rx = r * dx
+    ry = r * dy
+    zero = jnp.zeros_like(rx)
+    va = jnp.stack([
+        jnp.where(caf, -rx, zero), jnp.where(caf, zero, -rx),
+        jnp.where(caf, -ry, zero), jnp.where(caf, zero, -ry),
+    ])
+    vb = jnp.stack([
+        jnp.where(cbf, rx, zero), jnp.where(cbf, zero, rx),
+        jnp.where(cbf, ry, zero), jnp.where(cbf, zero, ry),
+    ])
+    return va, vb
+
+
+def _rot_b(rows, c_sh, keep):
+    r1 = pltpu.roll(rows, (LANE - c_sh) & (LANE - 1), axis=2)
+    return jnp.where(keep, r1[:, 0:RC], r1[:, 1 : RC + 1])
+
+
+def _spread_b(v, c_sh, lane2):
+    """(4, RC, 128) B contributions -> (4, 2*RC, 128) window-aligned."""
+    rot = pltpu.roll(v, c_sh, axis=2)
+    z1 = jnp.zeros((4, 1, LANE), jnp.float32)
+    z = jnp.zeros((4, RC - 1, LANE), jnp.float32)
+    top = jnp.concatenate([rot, z1, z], axis=1)
+    bot = jnp.concatenate([z1, rot, z], axis=1)
+    return jnp.where(lane2 >= c_sh, top, bot)
+
+
+def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
+    def kernel(meta_ref, eta_ref, od_ref, planes_hbm, cp0_hbm, xy_ref,
+               recip_ref, drift_in, base_in, out_ref, drift_hbm, base_hbm,
+               acc_sc, lo_sc, od_smem,
+               pw_sc, cw_sc, bw_sc, wb_sc,
+               mh_sc, md_sc, mb_sc, sem):
+        # drift_in/base_in are the aliased input views of drift_hbm/
+        # base_hbm (same buffers); all access goes through the outputs
+        del drift_in, base_in
+        gid = pl.program_id(0)
+
+        def dma(src, dst, s):
+            cp = pltpu.make_async_copy(src, dst, sem.at[s])
+            cp.start()
+            cp.wait()
+
+        @pl.when(gid == 0)
+        def _():
+            out_ref[:] = xy_ref[:]
+            lo_sc[:] = jnp.zeros_like(lo_sc)
+            # initialize drift = 0 and base = cp0 in HBM, tile by tile
+            def init_tile(t, _):
+                r = t * TR
+                dma(cp0_hbm.at[:, pl.ds(r, TR), :], mb_sc, 0)
+                dma(mb_sc, base_hbm.at[:, pl.ds(r, TR), :], 1)
+                md_sc[:] = jnp.zeros_like(md_sc)
+                dma(md_sc, drift_hbm.at[:, pl.ds(r, TR), :], 2)
+                return 0
+
+            jax.lax.fori_loop(0, pr // TR, init_tile, 0)
+
+        _stage_group_scalars(od_ref, od_smem, sem.at[7], gid)
+        eta_lr = eta_ref[gid]
+
+        keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
+
+        def chunk(c, _):
+            gl = gid * cgs + c
+            o_blk = od_smem[0, c]
+            D = od_smem[1, c]
+            r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+            c_sh = jnp.bitwise_and(D, LANE - 1)
+            keep = keep_tpl < (LANE - c_sh)
+            near = D < (2 * CHUNK)
+
+            # ---- near path: one union window of _UW rows at o_blk ----
+            @pl.when(near)
+            def _():
+                db = r0 - o_blk  # 0..2*RC-8? rows (D < 2*CHUNK)
+                dma(planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0)
+                dma(drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1)
+                dma(base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2)
+                pa = pw_sc[:, 0:RC, :]
+                pb = _rot_b(
+                    pw_sc[:, pl.ds(db, 2 * RC), :], c_sh, keep
+                )
+                ca_ = cw_sc[:, 0:RC, :] + bw_sc[:, 0:RC, :]
+                cb_rows = (
+                    cw_sc[:, pl.ds(db, 2 * RC), :]
+                    + bw_sc[:, pl.ds(db, 2 * RC), :]
+                )
+                cb_ = _rot_b(cb_rows, c_sh, keep)
+                va, vb = _compute_pair(pa, pb, ca_, cb_, eta_lr,
+                                       meta_ref[0] + gl)
+                wb_sc[:] = cw_sc[:]
+                wb_sc[:, 0:RC, :] = wb_sc[:, 0:RC, :] + va
+                sb = _spread_b(vb, c_sh, lane2)
+                wb_sc[:, pl.ds(db, 2 * RC), :] = (
+                    wb_sc[:, pl.ds(db, 2 * RC), :] + sb
+                )
+                dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 3)
+
+            # ---- far path: disjoint A (RC rows) and B (2*RC rows) ----
+            @pl.when(jnp.logical_not(near))
+            def _():
+                dma(planes_hbm.at[:, pl.ds(o_blk, RC), :],
+                    pw_sc.at[:, 0:RC, :], 0)
+                dma(planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                    pw_sc.at[:, RC : RC + 2 * RC, :], 1)
+                dma(drift_hbm.at[:, pl.ds(o_blk, RC), :],
+                    cw_sc.at[:, 0:RC, :], 2)
+                dma(drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                    cw_sc.at[:, RC : RC + 2 * RC, :], 3)
+                dma(base_hbm.at[:, pl.ds(o_blk, RC), :],
+                    bw_sc.at[:, 0:RC, :], 4)
+                dma(base_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                    bw_sc.at[:, RC : RC + 2 * RC, :], 5)
+                pa = pw_sc[:, 0:RC, :]
+                pb = _rot_b(pw_sc[:, RC : RC + 2 * RC, :], c_sh, keep)
+                ca_ = cw_sc[:, 0:RC, :] + bw_sc[:, 0:RC, :]
+                cb_ = _rot_b(
+                    cw_sc[:, RC : RC + 2 * RC, :]
+                    + bw_sc[:, RC : RC + 2 * RC, :],
+                    c_sh, keep,
+                )
+                va, vb = _compute_pair(pa, pb, ca_, cb_, eta_lr,
+                                       meta_ref[0] + gl)
+                wb_sc[:, 0:RC, :] = cw_sc[:, 0:RC, :] + va
+                sb = _spread_b(vb, c_sh, lane2)
+                wb_sc[:, RC : RC + 2 * RC, :] = (
+                    cw_sc[:, RC : RC + 2 * RC, :] + sb
+                )
+                dma(wb_sc.at[:, 0:RC, :],
+                    drift_hbm.at[:, pl.ds(o_blk, RC), :], 0)
+                dma(wb_sc.at[:, RC : RC + 2 * RC, :],
+                    drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1)
+
+            return 0
+
+        jax.lax.fori_loop(0, cgs, chunk, 0)
+
+        # ---- consensus merge, streaming tiles from HBM ----
+        iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
+        iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
+
+        def onehots():
+            h = mh_sc[0]
+            epf = 2 * jax.lax.shift_right_logical(h, 1) + (h & 1)
+            hi = jax.lax.shift_right_logical(epf, 7)
+            lof = epf & (LANE - 1)
+            e_hi = (hi[:, :, None] == iota_nl).astype(jnp.float32)
+            e_lo_f = (
+                (lof[:, :, None] == iota_128)
+                .astype(jnp.float32)
+                .reshape(TR * LANE, LANE)
+                .astype(jnp.bfloat16)
+            )
+            e_lo_r = (
+                ((lof ^ 1)[:, :, None] == iota_128)
+                .astype(jnp.float32)
+                .reshape(TR * LANE, LANE)
+                .astype(jnp.bfloat16)
+            )
+            return e_hi, e_lo_f, e_lo_r
+
+        def scatter_tile(t, _):
+            r = t * TR
+            dma(planes_hbm.at[_HANDLE, pl.ds(r, TR), :], mh_sc.at[0], 0)
+            dma(drift_hbm.at[:, pl.ds(r, TR), :], md_sc, 1)
+            e_hi, e_lo_f, e_lo_r = onehots()
+
+            def piece(p):
+                return e_hi * md_sc[p][:, :, None]
+
+            pf = jnp.concatenate([piece(0), piece(2)], axis=2).reshape(
+                TR * LANE, 2 * nl
+            )
+            pr_ = jnp.concatenate([piece(1), piece(3)], axis=2).reshape(
+                TR * LANE, 2 * nl
+            )
+            acc_sc[:] = (
+                acc_sc[:]
+                + _dot2(e_lo_f, pf, _DIMS_SCATTER)
+                + _dot2(e_lo_r, pr_, _DIMS_SCATTER)
+            )
+            return 0
+
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        jax.lax.fori_loop(0, n_tiles, scatter_tile, 0)
+        upd = acc_sc[:] * recip_ref[:]
+        _twosum_update(out_ref, lo_sc, upd)
+
+        def bcast_tile(t, _):
+            r = t * TR
+            dma(planes_hbm.at[_HANDLE, pl.ds(r, TR), :], mh_sc.at[0], 0)
+            dma(base_hbm.at[:, pl.ds(r, TR), :], mb_sc, 1)
+            e_hi, e_lo_f, e_lo_r = onehots()
+            t1f = _dot2(e_lo_f, upd, _DIMS_BCAST)
+            t1r = _dot2(e_lo_r, upd, _DIMS_BCAST)
+            t1f = t1f.reshape(TR, LANE, 2 * nl)
+            t1r = t1r.reshape(TR, LANE, 2 * nl)
+            vxf = jnp.sum(t1f[:, :, :nl] * e_hi, axis=2)
+            vyf = jnp.sum(t1f[:, :, nl:] * e_hi, axis=2)
+            vxr = jnp.sum(t1r[:, :, :nl] * e_hi, axis=2)
+            vyr = jnp.sum(t1r[:, :, nl:] * e_hi, axis=2)
+            mb_sc[:] = mb_sc[:] + jnp.stack([vxf, vxr, vyf, vyr])
+            dma(mb_sc, base_hbm.at[:, pl.ds(r, TR), :], 2)
+            md_sc[:] = jnp.zeros_like(md_sc)
+            dma(md_sc, drift_hbm.at[:, pl.ds(r, TR), :], 3)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, bcast_tile, 0)
+
+        @pl.when(gid == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = out_ref[:] + lo_sc[:]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("groups", "cgs", "n_tiles", "nl", "pr"),
+)
+def _pallas_call_xl(meta, eta_g, od_all, planes, cp0, xy0, recip,
+                    drift0, base0,
+                    groups: int, cgs: int, n_tiles: int, nl: int, pr: int):
+    w = 2 * nl
+    kernel = _make_kernel_xl(cgs, n_tiles, nl, pr)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # od (groups, 2, cgs_pad)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # planes (4, PR, 128) HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # cp0 (4, PR, 128) HBM
+            pl.BlockSpec(
+                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # drift (aliased out 1)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # base  (aliased out 2)
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((LANE, w), jnp.float32),        # acc
+            pltpu.VMEM((LANE, w), jnp.float32),        # lo
+            pltpu.SMEM((2, od_all.shape[2]), jnp.int32),
+            pltpu.VMEM((4, _UW, LANE), jnp.int32),     # planes window
+            pltpu.VMEM((4, _UW, LANE), jnp.float32),   # drift window
+            pltpu.VMEM((4, _UW, LANE), jnp.float32),   # base window
+            pltpu.VMEM((4, _UW, LANE), jnp.float32),   # write-back
+            pltpu.VMEM((1, TR, LANE), jnp.int32),      # merge handle tile
+            pltpu.VMEM((4, TR, LANE), jnp.float32),    # merge drift tile
+            pltpu.VMEM((4, TR, LANE), jnp.float32),    # merge base tile
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((LANE, w), jnp.float32),
+            jax.ShapeDtypeStruct(drift0.shape, jnp.float32),
+            jax.ShapeDtypeStruct(base0.shape, jnp.float32),
+        ),
+        input_output_aliases={7: 1, 8: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            has_side_effects=True,
+        ),
+    )(meta, eta_g, od_all, planes, cp0, xy0, recip, drift0, base0)
+
+
+def path_sgd_2d_pallas_xl(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
+    """HBM-streaming 2D PG-SGD for graphs past the VMEM-resident cap."""
+    from .sgd import derive_config_2d
+    from . import pallas_sgd as psr
+
+    if cfg is None:
+        cfg = derive_config_2d(g)
+    if not (g.path_step_count > 1).any():
+        return np.asarray(coords0, np.float64)
+    p = plan_run(g, cfg, one_d=False)
+    data = p["data"]
+    nl = data.ch
+    pr = data.planes.shape[1]
+    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
+    seed = int(cfg.seed) & 0x7FFFFFFF
+    cgs = p["cgs"]
+
+    cp0 = jnp.asarray(_pad_planes(_step_coord_planes(g, coords0), pr))
+    xy = jnp.asarray(
+        coords_to_node_array(np.asarray(coords0, np.float32), nl)
+    )
+    recip = jnp.asarray(_recip_r(g, nl, one_d=False))
+    od_all = jnp.asarray(_pack_od(p))
+    eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
+    drift = jnp.zeros((4, pr, LANE), jnp.float32)
+    base = cp0
+
+    for g0, n_g in _segments(p["groups"], cgs):
+        meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
+        xy, drift, base = _pallas_call_xl(
+            meta, eta_g[g0 : g0 + n_g], od_all[g0 : g0 + n_g],
+            data.planes, cp0, xy, recip, drift, base,
+            n_g, cgs, n_tiles, nl, pr,
+        )
+    return node_array_to_coords(
+        np.asarray(xy), 2 * g.num_nodes, nl
+    ).astype(np.float64)
+
+
+def xl_supported(g, cfg) -> bool:
+    """The streaming path needs only HBM for the planes; caps: node
+    capacity for the one-hot merge, positions in i32, S >= CHUNK."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if cfg.delta > 0:
+        return False
+    if g.num_steps < CHUNK:
+        return False
+    max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
+    if max_pos >= 2**30:
+        return False
+    if int(cfg.space) < 1024:
+        return False  # plane padding must cover the union window span
+    nl = _pad_to(max(-(-(2 * g.num_nodes + 2) // LANE), 1), 8)
+    return nl <= 256

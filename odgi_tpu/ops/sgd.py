@@ -656,12 +656,16 @@ def path_sgd_2d(
         return np.asarray(coords0, np.float64)
     if cfg.pallas and pin_nodes is None and snapshot_cb is None:
         from .pallas_sgd import pallas_supported, path_sgd_2d_pallas
+        from .pallas_sgd_xl import path_sgd_2d_pallas_xl, xl_supported
 
         g_eff = g
         if use_paths is not None and sorted(use_paths) != list(range(g.num_paths)):
             g_eff = g.keep_paths(sorted(use_paths))
         if pallas_supported(g_eff, cfg):
             return path_sgd_2d_pallas(g_eff, coords0, cfg, interpret=False)
+        if xl_supported(g_eff, cfg):
+            # VMEM-resident planes don't fit: HBM-streaming variant
+            return path_sgd_2d_pallas_xl(g_eff, coords0, cfg)
     data = SgdData.build(
         g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step, use_paths
     )

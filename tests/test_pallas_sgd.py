@@ -302,3 +302,13 @@ def test_segments_are_equal_sized():
         sizes = {n for _, n in segs}
         assert len(sizes) <= 2 and max(sizes) - min(sizes) <= 1, segs
         assert all(n * cgs <= ps.MAX_CHUNKS for _, n in segs)
+
+
+def test_xl_dispatch_predicates(drb_graph):
+    """The HBM-streaming variant is TPU-only and second in the dispatch
+    chain (resident kernel first); on CPU everything falls to XLA."""
+    from odgi_tpu.ops import pallas_sgd_xl as xl
+
+    cfg = sgd.derive_config_2d(drb_graph)
+    assert jax.default_backend() == "cpu"
+    assert not xl.xl_supported(drb_graph, cfg)

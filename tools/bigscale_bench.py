@@ -104,13 +104,21 @@ def main():
                       "steps": g.num_steps, "paths": g.num_paths}),
           flush=True)
 
+    from odgi_tpu.ops import pallas_sgd_xl as xl
+
     one_d = args.dim == 1
     derive = sgd.derive_config_1d if one_d else sgd.derive_config_2d
-    supported = ps.pallas_supported_1d if one_d else ps.pallas_supported
     cfg = derive(g, iter_max=args.iters)
-    sup = supported(g, cfg)
+    resident = (ps.pallas_supported_1d if one_d else ps.pallas_supported)(
+        g, cfg
+    )
+    streaming = (not one_d) and (not resident) and xl.xl_supported(g, cfg)
+    sup = resident or streaming
     out = {"dim": args.dim, "iters": args.iters,
-           "pallas_supported": bool(sup), "backend": jax.default_backend()}
+           "pallas_supported": bool(sup),
+           "pallas_variant": "resident" if resident else
+           ("streaming" if streaming else None),
+           "backend": jax.default_backend()}
     if one_d:
         run_pallas = lambda: ps.path_sgd_1d_pallas(g, cfg, interpret=False)
         run_xla = lambda c: sgd.path_sgd_1d(g, c)
@@ -118,8 +126,11 @@ def main():
         from odgi_tpu.algorithms.layout import init_layout
 
         c0 = init_layout(g, "d")
-        run_pallas = lambda: ps.path_sgd_2d_pallas(g, c0, cfg,
-                                                   interpret=False)
+        if streaming:
+            run_pallas = lambda: xl.path_sgd_2d_pallas_xl(g, c0, cfg)
+        else:
+            run_pallas = lambda: ps.path_sgd_2d_pallas(g, c0, cfg,
+                                                       interpret=False)
         run_xla = lambda c: sgd.path_sgd_2d(g, c0, c)
     if sup:
         p = ps.plan_run(g, cfg, one_d=one_d)
