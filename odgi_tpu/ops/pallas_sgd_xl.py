@@ -433,3 +433,324 @@ def xl_supported(g, cfg) -> bool:
         return False  # plane padding must cover the union window span
     nl = _pad_to(max(-(-(2 * g.num_nodes + 2) // LANE), 1), 8)
     return nl <= 256
+
+
+# ---------------------------------------------------------------------------
+# 1D variant (odgi sort -Y at chromosome scale)
+# ---------------------------------------------------------------------------
+
+from .pallas_sgd import (  # noqa: E402
+    _P1_HANDLE,
+    _P1_PATH,
+    _P1_POS,
+    _step_x_plane,
+    x_to_node_array,
+    node_array_to_x,
+)
+
+
+def _compute_pair_1d(pa, patha, pb, pathb, xa, xb, eta_lr):
+    """1D update math on gathered windows (reference:
+    path_sgd.cpp:304-396); returns the +-rr drift contribution."""
+    di = pa - pb
+    valid = jnp.logical_and(
+        jnp.logical_and(patha == pathb, patha >= 0), di != 0
+    )
+    term = jnp.abs(di).astype(jnp.float32)
+    w = 1.0 / jnp.maximum(term, 1e-30)
+    mu = jnp.minimum(eta_lr * w, 1.0)
+    dx = xa - xb
+    dx = jnp.where(dx == 0.0, 1e-9, dx)
+    mag = jnp.abs(dx)
+    delta = mu * (mag - term) * 0.5
+    return jnp.where(valid, delta / mag * dx, 0.0)
+
+
+def _spread_b1(v, c_sh, lane2):
+    rot = pltpu.roll(v, c_sh, axis=2)
+    z1 = jnp.zeros((1, 1, LANE), jnp.float32)
+    z = jnp.zeros((1, RC - 1, LANE), jnp.float32)
+    top = jnp.concatenate([rot, z1, z], axis=1)
+    bot = jnp.concatenate([z1, rot, z], axis=1)
+    return jnp.where(lane2 >= c_sh, top, bot)
+
+
+def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
+    def kernel(meta_ref, eta_ref, od_ref, planes_hbm, cp0_hbm, x_ref,
+               recip_ref, drift_in, base_in, out_ref, drift_hbm, base_hbm,
+               acc_sc, lo_sc, od_smem,
+               pw_sc, cw_sc, bw_sc, wb_sc,
+               mh_sc, md_sc, mb_sc, sem):
+        del drift_in, base_in
+        gid = pl.program_id(0)
+
+        def dma(src, dst, s):
+            cp = pltpu.make_async_copy(src, dst, sem.at[s])
+            cp.start()
+            cp.wait()
+
+        @pl.when(gid == 0)
+        def _():
+            out_ref[:] = x_ref[:]
+            lo_sc[:] = jnp.zeros_like(lo_sc)
+
+            def init_tile(t, _):
+                r = t * TR
+                dma(cp0_hbm.at[:, pl.ds(r, TR), :], mb_sc, 0)
+                dma(mb_sc, base_hbm.at[:, pl.ds(r, TR), :], 1)
+                md_sc[:] = jnp.zeros_like(md_sc)
+                dma(md_sc, drift_hbm.at[:, pl.ds(r, TR), :], 2)
+                return 0
+
+            jax.lax.fori_loop(0, pr // TR, init_tile, 0)
+
+        _stage_group_scalars(od_ref, od_smem, sem.at[7], gid)
+        eta_lr = eta_ref[gid]
+
+        keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
+
+        def chunk(c, _):
+            o_blk = od_smem[0, c]
+            D = od_smem[1, c]
+            r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+            c_sh = jnp.bitwise_and(D, LANE - 1)
+            keep = keep_tpl < (LANE - c_sh)
+            near = D < (2 * CHUNK)
+
+            @pl.when(near)
+            def _():
+                db = r0 - o_blk
+                dma(planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0)
+                dma(drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1)
+                dma(base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2)
+                pa = pw_sc[_P1_POS, 0:RC, :]
+                patha = pw_sc[_P1_PATH, 0:RC, :]
+                pbw = _rot_b(pw_sc[:, pl.ds(db, 2 * RC), :], c_sh, keep)
+                xa = cw_sc[0, 0:RC, :] + bw_sc[0, 0:RC, :]
+                xbw = _rot_b(
+                    cw_sc[:, pl.ds(db, 2 * RC), :]
+                    + bw_sc[:, pl.ds(db, 2 * RC), :],
+                    c_sh, keep,
+                )
+                rr = _compute_pair_1d(
+                    pa, patha, pbw[_P1_POS], pbw[_P1_PATH], xa, xbw[0],
+                    eta_lr,
+                )
+                wb_sc[:] = cw_sc[:]
+                wb_sc[0, 0:RC, :] = wb_sc[0, 0:RC, :] - rr
+                sb = _spread_b1(rr[None], c_sh, lane2)
+                wb_sc[:, pl.ds(db, 2 * RC), :] = (
+                    wb_sc[:, pl.ds(db, 2 * RC), :] + sb
+                )
+                dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 3)
+
+            @pl.when(jnp.logical_not(near))
+            def _():
+                dma(planes_hbm.at[:, pl.ds(o_blk, RC), :],
+                    pw_sc.at[:, 0:RC, :], 0)
+                dma(planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                    pw_sc.at[:, RC : RC + 2 * RC, :], 1)
+                dma(drift_hbm.at[:, pl.ds(o_blk, RC), :],
+                    cw_sc.at[:, 0:RC, :], 2)
+                dma(drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                    cw_sc.at[:, RC : RC + 2 * RC, :], 3)
+                dma(base_hbm.at[:, pl.ds(o_blk, RC), :],
+                    bw_sc.at[:, 0:RC, :], 4)
+                dma(base_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                    bw_sc.at[:, RC : RC + 2 * RC, :], 5)
+                pa = pw_sc[_P1_POS, 0:RC, :]
+                patha = pw_sc[_P1_PATH, 0:RC, :]
+                pbw = _rot_b(pw_sc[:, RC : RC + 2 * RC, :], c_sh, keep)
+                xa = cw_sc[0, 0:RC, :] + bw_sc[0, 0:RC, :]
+                xbw = _rot_b(
+                    cw_sc[:, RC : RC + 2 * RC, :]
+                    + bw_sc[:, RC : RC + 2 * RC, :],
+                    c_sh, keep,
+                )
+                rr = _compute_pair_1d(
+                    pa, patha, pbw[_P1_POS], pbw[_P1_PATH], xa, xbw[0],
+                    eta_lr,
+                )
+                wb_sc[0, 0:RC, :] = cw_sc[0, 0:RC, :] - rr
+                sb = _spread_b1(rr[None], c_sh, lane2)
+                wb_sc[:, RC : RC + 2 * RC, :] = (
+                    cw_sc[:, RC : RC + 2 * RC, :] + sb
+                )
+                dma(wb_sc.at[:, 0:RC, :],
+                    drift_hbm.at[:, pl.ds(o_blk, RC), :], 0)
+                dma(wb_sc.at[:, RC : RC + 2 * RC, :],
+                    drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1)
+
+            return 0
+
+        jax.lax.fori_loop(0, cgs, chunk, 0)
+
+        iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
+        iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
+
+        def onehots():
+            h = mh_sc[0]
+            nd = jax.lax.shift_right_logical(h, 1)
+            hi = jax.lax.shift_right_logical(nd, 7)
+            lo = nd & (LANE - 1)
+            e_hi = (hi[:, :, None] == iota_nl).astype(jnp.float32)
+            e_lo = (
+                (lo[:, :, None] == iota_128)
+                .astype(jnp.float32)
+                .reshape(TR * LANE, LANE)
+                .astype(jnp.bfloat16)
+            )
+            return e_hi, e_lo
+
+        def scatter_tile(t, _):
+            r = t * TR
+            dma(planes_hbm.at[_P1_HANDLE, pl.ds(r, TR), :], mh_sc.at[0], 0)
+            dma(drift_hbm.at[:, pl.ds(r, TR), :], md_sc, 1)
+            e_hi, e_lo = onehots()
+            piece = (e_hi * md_sc[0][:, :, None]).reshape(TR * LANE, nl)
+            acc_sc[:] = acc_sc[:] + _dot2(e_lo, piece, _DIMS_SCATTER)
+            return 0
+
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        jax.lax.fori_loop(0, n_tiles, scatter_tile, 0)
+        upd = acc_sc[:] * recip_ref[:]
+        _twosum_update(out_ref, lo_sc, upd)
+
+        def bcast_tile(t, _):
+            r = t * TR
+            dma(planes_hbm.at[_P1_HANDLE, pl.ds(r, TR), :], mh_sc.at[0], 0)
+            dma(base_hbm.at[:, pl.ds(r, TR), :], mb_sc, 1)
+            e_hi, e_lo = onehots()
+            t1 = _dot2(e_lo, upd, _DIMS_BCAST)
+            v = jnp.sum(t1.reshape(TR, LANE, nl) * e_hi, axis=2)
+            mb_sc[:] = mb_sc[:] + v[None]
+            dma(mb_sc, base_hbm.at[:, pl.ds(r, TR), :], 2)
+            md_sc[:] = jnp.zeros_like(md_sc)
+            dma(md_sc, drift_hbm.at[:, pl.ds(r, TR), :], 3)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, bcast_tile, 0)
+
+        @pl.when(gid == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = out_ref[:] + lo_sc[:]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("groups", "cgs", "n_tiles", "nl", "pr"),
+)
+def _pallas_call_xl_1d(meta, eta_g, od_all, planes, cp0, x0, recip,
+                       drift0, base0,
+                       groups: int, cgs: int, n_tiles: int, nl: int,
+                       pr: int):
+    kernel = _make_kernel_xl_1d(cgs, n_tiles, nl, pr)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (LANE, nl), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (LANE, nl), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (LANE, nl), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((LANE, nl), jnp.float32),
+            pltpu.VMEM((LANE, nl), jnp.float32),
+            pltpu.SMEM((2, od_all.shape[2]), jnp.int32),
+            pltpu.VMEM((3, _UW, LANE), jnp.int32),
+            pltpu.VMEM((1, _UW, LANE), jnp.float32),
+            pltpu.VMEM((1, _UW, LANE), jnp.float32),
+            pltpu.VMEM((1, _UW, LANE), jnp.float32),
+            pltpu.VMEM((1, TR, LANE), jnp.int32),
+            pltpu.VMEM((1, TR, LANE), jnp.float32),
+            pltpu.VMEM((1, TR, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((LANE, nl), jnp.float32),
+            jax.ShapeDtypeStruct(drift0.shape, jnp.float32),
+            jax.ShapeDtypeStruct(base0.shape, jnp.float32),
+        ),
+        input_output_aliases={7: 1, 8: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            has_side_effects=True,
+        ),
+    )(meta, eta_g, od_all, planes, cp0, x0, recip, drift0, base0)
+
+
+def path_sgd_1d_pallas_xl(g, cfg=None, x0=None) -> np.ndarray:
+    """HBM-streaming 1D PG-SGD for graphs past the VMEM-resident cap."""
+    from .sgd import derive_config_1d
+
+    if cfg is None:
+        cfg = derive_config_1d(g)
+    if not (g.path_step_count > 1).any():
+        return g.node_offset.astype(np.float64)
+    p = plan_run(g, cfg, one_d=True)
+    data = p["data"]
+    nl = data.ch
+    pr = data.planes.shape[1]
+    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
+    seed = int(cfg.seed) & 0x7FFFFFFF
+    cgs = p["cgs"]
+
+    x0v = (
+        g.node_offset.astype(np.float32)
+        if x0 is None
+        else np.asarray(x0, np.float32)
+    )
+    cp0 = jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr))
+    xn = jnp.asarray(x_to_node_array(x0v, nl))
+    recip = jnp.asarray(_recip_r(g, nl, one_d=True))
+    od_all = jnp.asarray(_pack_od(p))
+    eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
+    drift = jnp.zeros((1, pr, LANE), jnp.float32)
+    base = cp0
+
+    for g0, n_g in _segments(p["groups"], cgs):
+        meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
+        xn, drift, base = _pallas_call_xl_1d(
+            meta, eta_g[g0 : g0 + n_g], od_all[g0 : g0 + n_g],
+            data.planes, cp0, xn, recip, drift, base,
+            n_g, cgs, n_tiles, nl, pr,
+        )
+    return node_array_to_x(np.asarray(xn), g.num_nodes).astype(np.float64)
+
+
+def xl_supported_1d(g, cfg) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if cfg.delta > 0:
+        return False
+    if g.num_steps < CHUNK:
+        return False
+    max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
+    if max_pos >= 2**30:
+        return False
+    if int(cfg.space) < 1024:
+        return False
+    nl = _pad_to(max(-(-(g.num_nodes + 1) // LANE), 1), 8)
+    return nl <= 256

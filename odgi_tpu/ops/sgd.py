@@ -550,12 +550,15 @@ def path_sgd_1d(
         return g.node_offset.astype(np.float64)
     if cfg.pallas and pin_nodes is None and snapshot_cb is None:
         from .pallas_sgd import pallas_supported_1d, path_sgd_1d_pallas
+        from .pallas_sgd_xl import path_sgd_1d_pallas_xl, xl_supported_1d
 
         g_eff = g
         if use_paths is not None and sorted(use_paths) != list(range(g.num_paths)):
             g_eff = g.keep_paths(sorted(use_paths))
         if pallas_supported_1d(g_eff, cfg):
             return path_sgd_1d_pallas(g_eff, cfg, x0=x0)
+        if xl_supported_1d(g_eff, cfg):
+            return path_sgd_1d_pallas_xl(g_eff, cfg, x0=x0)
     data = SgdData.build(
         g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step, use_paths
     )

@@ -112,7 +112,8 @@ def main():
     resident = (ps.pallas_supported_1d if one_d else ps.pallas_supported)(
         g, cfg
     )
-    streaming = (not one_d) and (not resident) and xl.xl_supported(g, cfg)
+    xl_ok = (xl.xl_supported_1d if one_d else xl.xl_supported)(g, cfg)
+    streaming = (not resident) and xl_ok
     sup = resident or streaming
     out = {"dim": args.dim, "iters": args.iters,
            "pallas_supported": bool(sup),
@@ -120,7 +121,11 @@ def main():
            ("streaming" if streaming else None),
            "backend": jax.default_backend()}
     if one_d:
-        run_pallas = lambda: ps.path_sgd_1d_pallas(g, cfg, interpret=False)
+        if streaming:
+            run_pallas = lambda: xl.path_sgd_1d_pallas_xl(g, cfg)
+        else:
+            run_pallas = lambda: ps.path_sgd_1d_pallas(g, cfg,
+                                                       interpret=False)
         run_xla = lambda c: sgd.path_sgd_1d(g, c)
     else:
         from odgi_tpu.algorithms.layout import init_layout
