@@ -141,6 +141,17 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
             cp.start()
             cp.wait()
 
+        def dma_group(*copies):
+            # overlap independent transfers: start all, then wait all
+            objs = [
+                pltpu.make_async_copy(src, dst, sem.at[s])
+                for src, dst, s in copies
+            ]
+            for o in objs:
+                o.start()
+            for o in objs:
+                o.wait()
+
         @pl.when(gid == 0)
         def _():
             out_ref[:] = xy_ref[:]
@@ -174,10 +185,12 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
             # ---- near path: one union window of _UW rows at o_blk ----
             @pl.when(near)
             def _():
-                db = r0 - o_blk  # 0..2*RC-8? rows (D < 2*CHUNK)
-                dma(planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0)
-                dma(drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1)
-                dma(base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2)
+                db = r0 - o_blk  # rows 0..15 (D < 2*CHUNK)
+                dma_group(
+                    (planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0),
+                    (drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1),
+                    (base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2),
+                )
                 pa = pw_sc[:, 0:RC, :]
                 pb = _rot_b(
                     pw_sc[:, pl.ds(db, 2 * RC), :], c_sh, keep
@@ -201,18 +214,20 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
             # ---- far path: disjoint A (RC rows) and B (2*RC rows) ----
             @pl.when(jnp.logical_not(near))
             def _():
-                dma(planes_hbm.at[:, pl.ds(o_blk, RC), :],
-                    pw_sc.at[:, 0:RC, :], 0)
-                dma(planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                    pw_sc.at[:, RC : RC + 2 * RC, :], 1)
-                dma(drift_hbm.at[:, pl.ds(o_blk, RC), :],
-                    cw_sc.at[:, 0:RC, :], 2)
-                dma(drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                    cw_sc.at[:, RC : RC + 2 * RC, :], 3)
-                dma(base_hbm.at[:, pl.ds(o_blk, RC), :],
-                    bw_sc.at[:, 0:RC, :], 4)
-                dma(base_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                    bw_sc.at[:, RC : RC + 2 * RC, :], 5)
+                dma_group(
+                    (planes_hbm.at[:, pl.ds(o_blk, RC), :],
+                     pw_sc.at[:, 0:RC, :], 0),
+                    (planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                     pw_sc.at[:, RC : RC + 2 * RC, :], 1),
+                    (drift_hbm.at[:, pl.ds(o_blk, RC), :],
+                     cw_sc.at[:, 0:RC, :], 2),
+                    (drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                     cw_sc.at[:, RC : RC + 2 * RC, :], 3),
+                    (base_hbm.at[:, pl.ds(o_blk, RC), :],
+                     bw_sc.at[:, 0:RC, :], 4),
+                    (base_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                     bw_sc.at[:, RC : RC + 2 * RC, :], 5),
+                )
                 pa = pw_sc[:, 0:RC, :]
                 pb = _rot_b(pw_sc[:, RC : RC + 2 * RC, :], c_sh, keep)
                 ca_ = cw_sc[:, 0:RC, :] + bw_sc[:, 0:RC, :]
@@ -228,10 +243,12 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
                 wb_sc[:, RC : RC + 2 * RC, :] = (
                     cw_sc[:, RC : RC + 2 * RC, :] + sb
                 )
-                dma(wb_sc.at[:, 0:RC, :],
-                    drift_hbm.at[:, pl.ds(o_blk, RC), :], 0)
-                dma(wb_sc.at[:, RC : RC + 2 * RC, :],
-                    drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1)
+                dma_group(
+                    (wb_sc.at[:, 0:RC, :],
+                     drift_hbm.at[:, pl.ds(o_blk, RC), :], 0),
+                    (wb_sc.at[:, RC : RC + 2 * RC, :],
+                     drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1),
+                )
 
             return 0
 
@@ -489,6 +506,17 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
             cp.start()
             cp.wait()
 
+        def dma_group(*copies):
+            # overlap independent transfers: start all, then wait all
+            objs = [
+                pltpu.make_async_copy(src, dst, sem.at[s])
+                for src, dst, s in copies
+            ]
+            for o in objs:
+                o.start()
+            for o in objs:
+                o.wait()
+
         @pl.when(gid == 0)
         def _():
             out_ref[:] = x_ref[:]
@@ -521,9 +549,11 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
             @pl.when(near)
             def _():
                 db = r0 - o_blk
-                dma(planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0)
-                dma(drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1)
-                dma(base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2)
+                dma_group(
+                    (planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0),
+                    (drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1),
+                    (base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2),
+                )
                 pa = pw_sc[_P1_POS, 0:RC, :]
                 patha = pw_sc[_P1_PATH, 0:RC, :]
                 pbw = _rot_b(pw_sc[:, pl.ds(db, 2 * RC), :], c_sh, keep)
@@ -547,18 +577,20 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
 
             @pl.when(jnp.logical_not(near))
             def _():
-                dma(planes_hbm.at[:, pl.ds(o_blk, RC), :],
-                    pw_sc.at[:, 0:RC, :], 0)
-                dma(planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                    pw_sc.at[:, RC : RC + 2 * RC, :], 1)
-                dma(drift_hbm.at[:, pl.ds(o_blk, RC), :],
-                    cw_sc.at[:, 0:RC, :], 2)
-                dma(drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                    cw_sc.at[:, RC : RC + 2 * RC, :], 3)
-                dma(base_hbm.at[:, pl.ds(o_blk, RC), :],
-                    bw_sc.at[:, 0:RC, :], 4)
-                dma(base_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                    bw_sc.at[:, RC : RC + 2 * RC, :], 5)
+                dma_group(
+                    (planes_hbm.at[:, pl.ds(o_blk, RC), :],
+                     pw_sc.at[:, 0:RC, :], 0),
+                    (planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                     pw_sc.at[:, RC : RC + 2 * RC, :], 1),
+                    (drift_hbm.at[:, pl.ds(o_blk, RC), :],
+                     cw_sc.at[:, 0:RC, :], 2),
+                    (drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                     cw_sc.at[:, RC : RC + 2 * RC, :], 3),
+                    (base_hbm.at[:, pl.ds(o_blk, RC), :],
+                     bw_sc.at[:, 0:RC, :], 4),
+                    (base_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                     bw_sc.at[:, RC : RC + 2 * RC, :], 5),
+                )
                 pa = pw_sc[_P1_POS, 0:RC, :]
                 patha = pw_sc[_P1_PATH, 0:RC, :]
                 pbw = _rot_b(pw_sc[:, RC : RC + 2 * RC, :], c_sh, keep)
@@ -577,10 +609,12 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
                 wb_sc[:, RC : RC + 2 * RC, :] = (
                     cw_sc[:, RC : RC + 2 * RC, :] + sb
                 )
-                dma(wb_sc.at[:, 0:RC, :],
-                    drift_hbm.at[:, pl.ds(o_blk, RC), :], 0)
-                dma(wb_sc.at[:, RC : RC + 2 * RC, :],
-                    drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1)
+                dma_group(
+                    (wb_sc.at[:, 0:RC, :],
+                     drift_hbm.at[:, pl.ds(o_blk, RC), :], 0),
+                    (wb_sc.at[:, RC : RC + 2 * RC, :],
+                     drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1),
+                )
 
             return 0
 
