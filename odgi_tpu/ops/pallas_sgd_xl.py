@@ -48,7 +48,6 @@ from .pallas_sgd import (
     _dot2,
     _DIMS_SCATTER,
     _DIMS_BCAST,
-    _pack_od,
     _pad_planes,
     _pad_to,
     _pair_coins,
@@ -64,6 +63,43 @@ from .pallas_sgd import (
 
 # union window rows for near jumps: covers D < 2*CHUNK
 _UW = 4 * RC
+
+
+def _pack_od_xl(p: dict) -> np.ndarray:
+    """(groups, 3, cgs_pad) i32: [o, D, sync] per chunk.  sync=1 marks a
+    chunk whose read windows intersect the PREVIOUS chunk's windows: its
+    reads must not be prefetched past that chunk's drift write-back
+    (a stale prefetched window would be written back whole, erasing the
+    previous chunk's updates).  On chromosome-scale graphs the flag fires
+    for ~window-span/PR of chunks (~0.1%), so prefetching stays on almost
+    everywhere while results remain BIT-IDENTICAL to the serialized
+    kernel."""
+    groups, cgs = p["groups"], p["cgs"]
+    cgs_pad = _pad_to(cgs, LANE)
+    o = p["o_blk"].astype(np.int64)
+    d = p["d_arr"].astype(np.int64)
+    r0 = o + (d >> 7)
+    # spans: A-union [o, o+_UW), far-B [r0, r0+2RC)
+    a0, a1 = o, o + _UW
+    b0, b1 = r0, r0 + 2 * RC
+    def inter(x0, x1, y0, y1):
+        return (x0 < y1) & (y0 < x1)
+    prev = np.zeros(len(o), bool)
+    prev[1:] = (
+        inter(a0[1:], a1[1:], a0[:-1], a1[:-1])
+        | inter(a0[1:], a1[1:], b0[:-1], b1[:-1])
+        | inter(b0[1:], b1[1:], a0[:-1], a1[:-1])
+        | inter(b0[1:], b1[1:], b0[:-1], b1[:-1])
+    )
+    # chunk 0 of each group is issued before the loop: never needs sync
+    prev[:: cgs] = False
+    # row 3 is alignment padding (DMA tiling wants multiples of 4)
+    od = np.zeros((groups, 4, cgs_pad), np.int32)
+    od[:, 0, :cgs] = p["o_blk"].reshape(groups, cgs)
+    od[:, 1, :cgs] = p["d_arr"].reshape(groups, cgs)
+    od[:, 1, cgs:] = 1
+    od[:, 2, :cgs] = prev.reshape(groups, cgs)
+    return od
 
 
 def _compute_pair(pa, pb, ca_, cb_, eta_lr, gchunk_global):
@@ -129,7 +165,7 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
     def kernel(meta_ref, eta_ref, od_ref, planes_hbm, cp0_hbm, xy_ref,
                recip_ref, drift_in, base_in, out_ref, drift_hbm, base_hbm,
                acc_sc, lo_sc, od_smem,
-               pw_sc, cw_sc, bw_sc, wb_sc,
+               pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
                mh_sc, md_sc, mb_sc, sem):
         # drift_in/base_in are the aliased input views of drift_hbm/
         # base_hbm (same buffers); all access goes through the outputs
@@ -167,13 +203,53 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
 
             jax.lax.fori_loop(0, pr // TR, init_tile, 0)
 
-        _stage_group_scalars(od_ref, od_smem, sem.at[7], gid)
+        _stage_group_scalars(od_ref, od_smem, sem.at[12], gid)
         eta_lr = eta_ref[gid]
 
         keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
 
+        def read_copies(c):
+            """The 6 uniform window reads of chunk c into slot c&1: the
+            union span at o_blk (covers A and near-B) plus the far-B span
+            at r0 (redundant for near chunks; uniformity lets chunk c+1's
+            reads prefetch during chunk c's compute without branching).
+
+            Cross-chunk hazard (documented): the prefetch is issued
+            before chunk c's drift write-back, so on the rare occasions
+            consecutive windows overlap (~window-span/PR per pair) the
+            next chunk reads pre-update drift — Hogwild-class staleness,
+            same family as the reference's racy threads."""
+            slot = c & 1
+            o_blk = od_smem[0, c]
+            D = od_smem[1, c]
+            r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+            return [
+                pltpu.make_async_copy(
+                    planes_hbm.at[:, pl.ds(o_blk, _UW), :],
+                    pw_sc.at[slot], sem.at[slot * 6 + 0]),
+                pltpu.make_async_copy(
+                    drift_hbm.at[:, pl.ds(o_blk, _UW), :],
+                    cw_sc.at[slot], sem.at[slot * 6 + 1]),
+                pltpu.make_async_copy(
+                    base_hbm.at[:, pl.ds(o_blk, _UW), :],
+                    bw_sc.at[slot], sem.at[slot * 6 + 2]),
+                pltpu.make_async_copy(
+                    planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                    pwb_sc.at[slot], sem.at[slot * 6 + 3]),
+                pltpu.make_async_copy(
+                    drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                    cwb_sc.at[slot], sem.at[slot * 6 + 4]),
+                pltpu.make_async_copy(
+                    base_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                    bwb_sc.at[slot], sem.at[slot * 6 + 5]),
+            ]
+
+        for cp in read_copies(0):
+            cp.start()
+
         def chunk(c, _):
+            slot = c & 1
             gl = gid * cgs + c
             o_blk = od_smem[0, c]
             D = od_smem[1, c]
@@ -182,72 +258,65 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
             keep = keep_tpl < (LANE - c_sh)
             near = D < (2 * CHUNK)
 
+            # sync chunks were NOT prefetched (their windows intersect
+            # the previous chunk's write-back): read them now, after it
+            @pl.when(od_smem[2, c] != 0)
+            def _():
+                for cp in read_copies(c):
+                    cp.start()
+
+            for cp in read_copies(c):
+                cp.wait()
+
+            @pl.when(jnp.logical_and(c + 1 < cgs,
+                                     od_smem[2, c + 1] == 0))
+            def _():
+                for cp in read_copies(c + 1):
+                    cp.start()
+
             # ---- near path: one union window of _UW rows at o_blk ----
             @pl.when(near)
             def _():
                 db = r0 - o_blk  # rows 0..15 (D < 2*CHUNK)
-                dma_group(
-                    (planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0),
-                    (drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1),
-                    (base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2),
-                )
-                pa = pw_sc[:, 0:RC, :]
+                pa = pw_sc[slot, :, 0:RC, :]
                 pb = _rot_b(
-                    pw_sc[:, pl.ds(db, 2 * RC), :], c_sh, keep
+                    pw_sc[slot, :, pl.ds(db, 2 * RC), :], c_sh, keep
                 )
-                ca_ = cw_sc[:, 0:RC, :] + bw_sc[:, 0:RC, :]
+                ca_ = (cw_sc[slot, :, 0:RC, :]
+                       + bw_sc[slot, :, 0:RC, :])
                 cb_rows = (
-                    cw_sc[:, pl.ds(db, 2 * RC), :]
-                    + bw_sc[:, pl.ds(db, 2 * RC), :]
+                    cw_sc[slot, :, pl.ds(db, 2 * RC), :]
+                    + bw_sc[slot, :, pl.ds(db, 2 * RC), :]
                 )
                 cb_ = _rot_b(cb_rows, c_sh, keep)
                 va, vb = _compute_pair(pa, pb, ca_, cb_, eta_lr,
                                        meta_ref[0] + gl)
-                wb_sc[:] = cw_sc[:]
+                wb_sc[:] = cw_sc[slot]
                 wb_sc[:, 0:RC, :] = wb_sc[:, 0:RC, :] + va
                 sb = _spread_b(vb, c_sh, lane2)
                 wb_sc[:, pl.ds(db, 2 * RC), :] = (
                     wb_sc[:, pl.ds(db, 2 * RC), :] + sb
                 )
-                dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 3)
+                dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 14)
 
-            # ---- far path: disjoint A (RC rows) and B (2*RC rows) ----
+            # ---- far path: A from the union span, B from its own span --
             @pl.when(jnp.logical_not(near))
             def _():
-                dma_group(
-                    (planes_hbm.at[:, pl.ds(o_blk, RC), :],
-                     pw_sc.at[:, 0:RC, :], 0),
-                    (planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                     pw_sc.at[:, RC : RC + 2 * RC, :], 1),
-                    (drift_hbm.at[:, pl.ds(o_blk, RC), :],
-                     cw_sc.at[:, 0:RC, :], 2),
-                    (drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                     cw_sc.at[:, RC : RC + 2 * RC, :], 3),
-                    (base_hbm.at[:, pl.ds(o_blk, RC), :],
-                     bw_sc.at[:, 0:RC, :], 4),
-                    (base_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                     bw_sc.at[:, RC : RC + 2 * RC, :], 5),
-                )
-                pa = pw_sc[:, 0:RC, :]
-                pb = _rot_b(pw_sc[:, RC : RC + 2 * RC, :], c_sh, keep)
-                ca_ = cw_sc[:, 0:RC, :] + bw_sc[:, 0:RC, :]
-                cb_ = _rot_b(
-                    cw_sc[:, RC : RC + 2 * RC, :]
-                    + bw_sc[:, RC : RC + 2 * RC, :],
-                    c_sh, keep,
-                )
+                pa = pw_sc[slot, :, 0:RC, :]
+                pb = _rot_b(pwb_sc[slot], c_sh, keep)
+                ca_ = (cw_sc[slot, :, 0:RC, :]
+                       + bw_sc[slot, :, 0:RC, :])
+                cb_ = _rot_b(cwb_sc[slot] + bwb_sc[slot], c_sh, keep)
                 va, vb = _compute_pair(pa, pb, ca_, cb_, eta_lr,
                                        meta_ref[0] + gl)
-                wb_sc[:, 0:RC, :] = cw_sc[:, 0:RC, :] + va
+                wb_sc[:, 0:RC, :] = cw_sc[slot, :, 0:RC, :] + va
                 sb = _spread_b(vb, c_sh, lane2)
-                wb_sc[:, RC : RC + 2 * RC, :] = (
-                    cw_sc[:, RC : RC + 2 * RC, :] + sb
-                )
+                wb_sc[:, RC : RC + 2 * RC, :] = cwb_sc[slot] + sb
                 dma_group(
                     (wb_sc.at[:, 0:RC, :],
-                     drift_hbm.at[:, pl.ds(o_blk, RC), :], 0),
+                     drift_hbm.at[:, pl.ds(o_blk, RC), :], 14),
                     (wb_sc.at[:, RC : RC + 2 * RC, :],
-                     drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1),
+                     drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 15),
                 )
 
             return 0
@@ -368,15 +437,18 @@ def _pallas_call_xl(meta, eta_g, od_all, planes, cp0, xy0, recip,
         scratch_shapes=[
             pltpu.VMEM((LANE, w), jnp.float32),        # acc
             pltpu.VMEM((LANE, w), jnp.float32),        # lo
-            pltpu.SMEM((2, od_all.shape[2]), jnp.int32),
-            pltpu.VMEM((4, _UW, LANE), jnp.int32),     # planes window
-            pltpu.VMEM((4, _UW, LANE), jnp.float32),   # drift window
-            pltpu.VMEM((4, _UW, LANE), jnp.float32),   # base window
-            pltpu.VMEM((4, _UW, LANE), jnp.float32),   # write-back
-            pltpu.VMEM((1, TR, LANE), jnp.int32),      # merge handle tile
-            pltpu.VMEM((4, TR, LANE), jnp.float32),    # merge drift tile
-            pltpu.VMEM((4, TR, LANE), jnp.float32),    # merge base tile
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SMEM((4, od_all.shape[2]), jnp.int32),
+            pltpu.VMEM((2, 4, _UW, LANE), jnp.int32),   # planes A slots
+            pltpu.VMEM((2, 4, _UW, LANE), jnp.float32), # drift A slots
+            pltpu.VMEM((2, 4, _UW, LANE), jnp.float32), # base A slots
+            pltpu.VMEM((2, 4, 2 * RC, LANE), jnp.int32),   # planes B
+            pltpu.VMEM((2, 4, 2 * RC, LANE), jnp.float32), # drift B
+            pltpu.VMEM((2, 4, 2 * RC, LANE), jnp.float32), # base B
+            pltpu.VMEM((4, _UW, LANE), jnp.float32),    # write-back
+            pltpu.VMEM((1, TR, LANE), jnp.int32),       # merge handle tile
+            pltpu.VMEM((4, TR, LANE), jnp.float32),     # merge drift tile
+            pltpu.VMEM((4, TR, LANE), jnp.float32),     # merge base tile
+            pltpu.SemaphoreType.DMA((16,)),
         ],
     )
     return pl.pallas_call(
@@ -417,7 +489,7 @@ def path_sgd_2d_pallas_xl(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
         coords_to_node_array(np.asarray(coords0, np.float32), nl)
     )
     recip = jnp.asarray(_recip_r(g, nl, one_d=False))
-    od_all = jnp.asarray(_pack_od(p))
+    od_all = jnp.asarray(_pack_od_xl(p))
     eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
     drift = jnp.zeros((4, pr, LANE), jnp.float32)
     base = cp0
@@ -708,7 +780,7 @@ def _pallas_call_xl_1d(meta, eta_g, od_all, planes, cp0, x0, recip,
         scratch_shapes=[
             pltpu.VMEM((LANE, nl), jnp.float32),
             pltpu.VMEM((LANE, nl), jnp.float32),
-            pltpu.SMEM((2, od_all.shape[2]), jnp.int32),
+            pltpu.SMEM((4, od_all.shape[2]), jnp.int32),
             pltpu.VMEM((3, _UW, LANE), jnp.int32),
             pltpu.VMEM((1, _UW, LANE), jnp.float32),
             pltpu.VMEM((1, _UW, LANE), jnp.float32),
@@ -759,7 +831,7 @@ def path_sgd_1d_pallas_xl(g, cfg=None, x0=None) -> np.ndarray:
     cp0 = jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr))
     xn = jnp.asarray(x_to_node_array(x0v, nl))
     recip = jnp.asarray(_recip_r(g, nl, one_d=True))
-    od_all = jnp.asarray(_pack_od(p))
+    od_all = jnp.asarray(_pack_od_xl(p))
     eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
     drift = jnp.zeros((1, pr, LANE), jnp.float32)
     base = cp0
