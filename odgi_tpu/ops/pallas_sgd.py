@@ -420,17 +420,18 @@ _PLAN_CACHE: dict = {}
 _DEV_CACHE: dict = {}
 
 
-def _dev_arrays(key, build):
+def _dev_arrays(g, key, build):
     """Memoize device-uploaded input arrays: rebuilding and re-uploading
     ~1MB of planes per dispatch costs ~40ms through the axon relay — 4x
     the device time of the whole DRB1 optimization.  Keyed on (graph id,
-    cfg, coords digest); same-input re-runs (benchmarks, pipelines that
-    retry) hit the cache."""
+    cfg, coords digest) and verified against the live graph object (ids
+    are reused after GC, like _DATA_CACHE); same-input re-runs
+    (benchmarks, pipelines that retry) hit the cache."""
     hit = _DEV_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is g:
+        return hit[1]
     val = build()
-    _DEV_CACHE[key] = val
+    _DEV_CACHE[key] = (g, val)
     while len(_DEV_CACHE) > 6:
         _DEV_CACHE.pop(next(iter(_DEV_CACHE)))
     return val
@@ -1063,6 +1064,7 @@ def path_sgd_2d_pallas(
     digest = hashlib.blake2b(c0b.tobytes(), digest_size=16).digest()
     cgs = p["cgs"]
     cp0, xy0, recip, od_all, eta_g = _dev_arrays(
+        g,
         (id(g), cfg, False, digest, RC),
         lambda: (
             jnp.asarray(_pad_planes(_step_coord_planes(g, coords0), pr)),
@@ -1133,6 +1135,7 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None,
     ).digest()
     cgs = p["cgs"]
     cp0, xn0, recip, od_all, eta_g = _dev_arrays(
+        g,
         (id(g), cfg, True, digest, RC),
         lambda: (
             jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr)),
@@ -1176,8 +1179,11 @@ def _supported(g, cfg, one_d: bool) -> bool:
     pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, TR * LANE)
     np_planes = 3 if one_d else 4
     ncp = 1 if one_d else 4
-    # resident: static planes (input) + drift + base scratches
-    vmem = (np_planes + 2 * ncp) * pad * 4
+    # resident: static planes + cp0 (inputs) + drift + base scratches —
+    # must match the vmem_need formula in _pallas_call, or graphs near
+    # the ceiling pass here and then fail Mosaic compilation instead of
+    # falling through to the streaming variant
+    vmem = (np_planes + 3 * ncp) * pad * 4
     return vmem < VMEM_BUDGET
 
 

@@ -66,14 +66,14 @@ _UW = 4 * RC
 
 
 def _pack_od_xl(p: dict) -> np.ndarray:
-    """(groups, 3, cgs_pad) i32: [o, D, sync] per chunk.  sync=1 marks a
-    chunk whose read windows intersect the PREVIOUS chunk's windows: its
-    reads must not be prefetched past that chunk's drift write-back
-    (a stale prefetched window would be written back whole, erasing the
-    previous chunk's updates).  On chromosome-scale graphs the flag fires
-    for ~window-span/PR of chunks (~0.1%), so prefetching stays on almost
-    everywhere while results remain BIT-IDENTICAL to the serialized
-    kernel."""
+    """(groups, 4, cgs_pad) i32: rows [o, D, sync, pad] per chunk.
+    sync=1 marks a chunk whose read windows intersect the PREVIOUS
+    chunk's windows: its reads must not be prefetched past that chunk's
+    drift write-back (a stale prefetched window would be written back
+    whole, erasing the previous chunk's updates).  On chromosome-scale
+    graphs the flag fires for ~window-span/PR of chunks (~0.1%), so
+    prefetching stays on almost everywhere while results remain
+    BIT-IDENTICAL to the serialized kernel."""
     groups, cgs = p["groups"], p["cgs"]
     cgs_pad = _pad_to(cgs, LANE)
     o = p["o_blk"].astype(np.int64)
@@ -163,8 +163,8 @@ def _spread_b(v, c_sh, lane2):
 
 def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
     def kernel(meta_ref, eta_ref, od_ref, planes_hbm, cp0_hbm, xy_ref,
-               recip_ref, drift_in, base_in, out_ref, drift_hbm, base_hbm,
-               acc_sc, lo_sc, od_smem,
+               recip_ref, drift_in, base_in, lo_in, out_ref, drift_hbm,
+               base_hbm, lo_ref, acc_sc, od_smem,
                pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
                mh_sc, md_sc, mb_sc, sem):
         # drift_in/base_in are the aliased input views of drift_hbm/
@@ -190,9 +190,20 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
 
         @pl.when(gid == 0)
         def _():
+            # per-dispatch: the node-array output and its TwoSum
+            # compensation plane restart from the inputs (= the previous
+            # segment's outputs); the host folds out + lo once after the
+            # FINAL segment, so results are segmentation-invariant
             out_ref[:] = xy_ref[:]
-            lo_sc[:] = jnp.zeros_like(lo_sc)
-            # initialize drift = 0 and base = cp0 in HBM, tile by tile
+            lo_ref[:] = lo_in[:]
+
+        @pl.when(jnp.logical_and(gid == 0, meta_ref[0] == 0))
+        def _():
+            # GLOBAL first segment only (meta[0] = global chunk base):
+            # initialize drift = 0 and base = cp0 in HBM, tile by tile.
+            # Later segments inherit the aliased drift/base HBM state —
+            # re-running this per dispatch would silently reset the
+            # replica geometry to the run-initial layout mid-run.
             def init_tile(t, _):
                 r = t * TR
                 dma(cp0_hbm.at[:, pl.ds(r, TR), :], mb_sc, 0)
@@ -215,11 +226,13 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
             at r0 (redundant for near chunks; uniformity lets chunk c+1's
             reads prefetch during chunk c's compute without branching).
 
-            Cross-chunk hazard (documented): the prefetch is issued
-            before chunk c's drift write-back, so on the rare occasions
-            consecutive windows overlap (~window-span/PR per pair) the
-            next chunk reads pre-update drift — Hogwild-class staleness,
-            same family as the reference's racy threads."""
+            Concurrency contract: a chunk whose windows intersect the
+            previous chunk's windows carries sync=1 in the od array
+            (_pack_od_xl) and is NOT prefetched — its reads are issued
+            after that chunk's drift write-back completes.  All other
+            chunks touch disjoint spans, so their prefetched reads
+            cannot observe (or clobber) in-flight write-backs; results
+            are bit-identical to the fully serialized kernel."""
             slot = c & 1
             o_blk = od_smem[0, c]
             D = od_smem[1, c]
@@ -268,8 +281,11 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
             for cp in read_copies(c):
                 cp.wait()
 
+            # clamp the lookahead (c+1 == cgs_pad on the last chunk when
+            # cgs is already lane-aligned); the value is discarded there
+            nxt = jnp.minimum(c + 1, od_smem.shape[1] - 1)
             @pl.when(jnp.logical_and(c + 1 < cgs,
-                                     od_smem[2, c + 1] == 0))
+                                     od_smem[2, nxt] == 0))
             def _():
                 for cp in read_copies(c + 1):
                     cp.start()
@@ -372,7 +388,7 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
         acc_sc[:] = jnp.zeros_like(acc_sc)
         jax.lax.fori_loop(0, n_tiles, scatter_tile, 0)
         upd = acc_sc[:] * recip_ref[:]
-        _twosum_update(out_ref, lo_sc, upd)
+        _twosum_update(out_ref, lo_ref, upd)
 
         def bcast_tile(t, _):
             r = t * TR
@@ -395,27 +411,24 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
 
         jax.lax.fori_loop(0, n_tiles, bcast_tile, 0)
 
-        @pl.when(gid == pl.num_programs(0) - 1)
-        def _():
-            out_ref[:] = out_ref[:] + lo_sc[:]
-
     return kernel
 
 
 @partial(
     jax.jit,
-    static_argnames=("groups", "cgs", "n_tiles", "nl", "pr"),
+    static_argnames=("groups", "cgs", "n_tiles", "nl", "pr", "interpret"),
 )
 def _pallas_call_xl(meta, eta_g, od_all, planes, cp0, xy0, recip,
-                    drift0, base0,
-                    groups: int, cgs: int, n_tiles: int, nl: int, pr: int):
+                    drift0, base0, lo0,
+                    groups: int, cgs: int, n_tiles: int, nl: int, pr: int,
+                    interpret: bool = False):
     w = 2 * nl
     kernel = _make_kernel_xl(cgs, n_tiles, nl, pr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(groups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # od (groups, 2, cgs_pad)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # od (groups, 4, cgs_pad)
             pl.BlockSpec(memory_space=pltpu.ANY),  # planes (4, PR, 128) HBM
             pl.BlockSpec(memory_space=pltpu.ANY),  # cp0 (4, PR, 128) HBM
             pl.BlockSpec(
@@ -426,6 +439,9 @@ def _pallas_call_xl(meta, eta_g, od_all, planes, cp0, xy0, recip,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # drift (aliased out 1)
             pl.BlockSpec(memory_space=pltpu.ANY),  # base  (aliased out 2)
+            pl.BlockSpec(
+                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),  # lo (TwoSum compensation, carried across segments)
         ],
         out_specs=(
             pl.BlockSpec(
@@ -433,10 +449,12 @@ def _pallas_call_xl(meta, eta_g, od_all, planes, cp0, xy0, recip,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         scratch_shapes=[
             pltpu.VMEM((LANE, w), jnp.float32),        # acc
-            pltpu.VMEM((LANE, w), jnp.float32),        # lo
             pltpu.SMEM((4, od_all.shape[2]), jnp.int32),
             pltpu.VMEM((2, 4, _UW, LANE), jnp.int32),   # planes A slots
             pltpu.VMEM((2, 4, _UW, LANE), jnp.float32), # drift A slots
@@ -458,22 +476,27 @@ def _pallas_call_xl(meta, eta_g, od_all, planes, cp0, xy0, recip,
             jax.ShapeDtypeStruct((LANE, w), jnp.float32),
             jax.ShapeDtypeStruct(drift0.shape, jnp.float32),
             jax.ShapeDtypeStruct(base0.shape, jnp.float32),
+            jax.ShapeDtypeStruct((LANE, w), jnp.float32),
         ),
         input_output_aliases={7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
             has_side_effects=True,
         ),
-    )(meta, eta_g, od_all, planes, cp0, xy0, recip, drift0, base0)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(meta, eta_g, od_all, planes, cp0, xy0, recip, drift0, base0, lo0)
 
 
-def path_sgd_2d_pallas_xl(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
+def path_sgd_2d_pallas_xl(g, coords0: np.ndarray, cfg=None,
+                          interpret=None) -> np.ndarray:
     """HBM-streaming 2D PG-SGD for graphs past the VMEM-resident cap."""
     from .sgd import derive_config_2d
     from . import pallas_sgd as psr
 
     if cfg is None:
         cfg = derive_config_2d(g)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if not (g.path_step_count > 1).any():
         return np.asarray(coords0, np.float64)
     p = plan_run(g, cfg, one_d=False)
@@ -493,16 +516,21 @@ def path_sgd_2d_pallas_xl(g, coords0: np.ndarray, cfg=None) -> np.ndarray:
     eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
     drift = jnp.zeros((4, pr, LANE), jnp.float32)
     base = cp0
+    lo = jnp.zeros((LANE, 2 * nl), jnp.float32)
 
     for g0, n_g in _segments(p["groups"], cgs):
         meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
-        xy, drift, base = _pallas_call_xl(
+        xy, drift, base, lo = _pallas_call_xl(
             meta, eta_g[g0 : g0 + n_g], od_all[g0 : g0 + n_g],
-            data.planes, cp0, xy, recip, drift, base,
-            n_g, cgs, n_tiles, nl, pr,
+            data.planes, cp0, xy, recip, drift, base, lo,
+            n_g, cgs, n_tiles, nl, pr, bool(interpret),
         )
+    # fold the TwoSum compensation plane once, after the final segment
+    # (f32 add — the same arithmetic the resident kernel's in-kernel
+    # final fold performs)
+    xy_final = np.asarray(xy) + np.asarray(lo)
     return node_array_to_coords(
-        np.asarray(xy), 2 * g.num_nodes, nl
+        xy_final, 2 * g.num_nodes, nl
     ).astype(np.float64)
 
 
@@ -566,8 +594,8 @@ def _spread_b1(v, c_sh, lane2):
 
 def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
     def kernel(meta_ref, eta_ref, od_ref, planes_hbm, cp0_hbm, x_ref,
-               recip_ref, drift_in, base_in, out_ref, drift_hbm, base_hbm,
-               acc_sc, lo_sc, od_smem,
+               recip_ref, drift_in, base_in, lo_in, out_ref, drift_hbm,
+               base_hbm, lo_ref, acc_sc, od_smem,
                pw_sc, cw_sc, bw_sc, wb_sc,
                mh_sc, md_sc, mb_sc, sem):
         del drift_in, base_in
@@ -592,8 +620,11 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
         @pl.when(gid == 0)
         def _():
             out_ref[:] = x_ref[:]
-            lo_sc[:] = jnp.zeros_like(lo_sc)
+            lo_ref[:] = lo_in[:]
 
+        @pl.when(jnp.logical_and(gid == 0, meta_ref[0] == 0))
+        def _():
+            # global first segment only — see _make_kernel_xl
             def init_tile(t, _):
                 r = t * TR
                 dma(cp0_hbm.at[:, pl.ds(r, TR), :], mb_sc, 0)
@@ -721,7 +752,7 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
         acc_sc[:] = jnp.zeros_like(acc_sc)
         jax.lax.fori_loop(0, n_tiles, scatter_tile, 0)
         upd = acc_sc[:] * recip_ref[:]
-        _twosum_update(out_ref, lo_sc, upd)
+        _twosum_update(out_ref, lo_ref, upd)
 
         def bcast_tile(t, _):
             r = t * TR
@@ -738,21 +769,17 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
 
         jax.lax.fori_loop(0, n_tiles, bcast_tile, 0)
 
-        @pl.when(gid == pl.num_programs(0) - 1)
-        def _():
-            out_ref[:] = out_ref[:] + lo_sc[:]
-
     return kernel
 
 
 @partial(
     jax.jit,
-    static_argnames=("groups", "cgs", "n_tiles", "nl", "pr"),
+    static_argnames=("groups", "cgs", "n_tiles", "nl", "pr", "interpret"),
 )
 def _pallas_call_xl_1d(meta, eta_g, od_all, planes, cp0, x0, recip,
-                       drift0, base0,
+                       drift0, base0, lo0,
                        groups: int, cgs: int, n_tiles: int, nl: int,
-                       pr: int):
+                       pr: int, interpret: bool = False):
     kernel = _make_kernel_xl_1d(cgs, n_tiles, nl, pr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -769,6 +796,9 @@ def _pallas_call_xl_1d(meta, eta_g, od_all, planes, cp0, x0, recip,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (LANE, nl), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),  # lo (TwoSum compensation, carried across segments)
         ],
         out_specs=(
             pl.BlockSpec(
@@ -776,9 +806,11 @@ def _pallas_call_xl_1d(meta, eta_g, od_all, planes, cp0, x0, recip,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (LANE, nl), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((LANE, nl), jnp.float32),
             pltpu.VMEM((LANE, nl), jnp.float32),
             pltpu.SMEM((4, od_all.shape[2]), jnp.int32),
             pltpu.VMEM((3, _UW, LANE), jnp.int32),
@@ -798,21 +830,25 @@ def _pallas_call_xl_1d(meta, eta_g, od_all, planes, cp0, x0, recip,
             jax.ShapeDtypeStruct((LANE, nl), jnp.float32),
             jax.ShapeDtypeStruct(drift0.shape, jnp.float32),
             jax.ShapeDtypeStruct(base0.shape, jnp.float32),
+            jax.ShapeDtypeStruct((LANE, nl), jnp.float32),
         ),
         input_output_aliases={7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
             has_side_effects=True,
         ),
-    )(meta, eta_g, od_all, planes, cp0, x0, recip, drift0, base0)
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(meta, eta_g, od_all, planes, cp0, x0, recip, drift0, base0, lo0)
 
 
-def path_sgd_1d_pallas_xl(g, cfg=None, x0=None) -> np.ndarray:
+def path_sgd_1d_pallas_xl(g, cfg=None, x0=None, interpret=None) -> np.ndarray:
     """HBM-streaming 1D PG-SGD for graphs past the VMEM-resident cap."""
     from .sgd import derive_config_1d
 
     if cfg is None:
         cfg = derive_config_1d(g)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if not (g.path_step_count > 1).any():
         return g.node_offset.astype(np.float64)
     p = plan_run(g, cfg, one_d=True)
@@ -835,15 +871,17 @@ def path_sgd_1d_pallas_xl(g, cfg=None, x0=None) -> np.ndarray:
     eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
     drift = jnp.zeros((1, pr, LANE), jnp.float32)
     base = cp0
+    lo = jnp.zeros((LANE, nl), jnp.float32)
 
     for g0, n_g in _segments(p["groups"], cgs):
         meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
-        xn, drift, base = _pallas_call_xl_1d(
+        xn, drift, base, lo = _pallas_call_xl_1d(
             meta, eta_g[g0 : g0 + n_g], od_all[g0 : g0 + n_g],
-            data.planes, cp0, xn, recip, drift, base,
-            n_g, cgs, n_tiles, nl, pr,
+            data.planes, cp0, xn, recip, drift, base, lo,
+            n_g, cgs, n_tiles, nl, pr, bool(interpret),
         )
-    return node_array_to_x(np.asarray(xn), g.num_nodes).astype(np.float64)
+    xn_final = np.asarray(xn) + np.asarray(lo)
+    return node_array_to_x(xn_final, g.num_nodes).astype(np.float64)
 
 
 def xl_supported_1d(g, cfg) -> bool:
