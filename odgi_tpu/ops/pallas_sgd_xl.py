@@ -161,6 +161,152 @@ def _spread_b(v, c_sh, lane2):
     return jnp.where(lane2 >= c_sh, top, bot)
 
 
+def _run_chunks_2d(cgs, gid, meta_ref, od_smem, eta_lr,
+                   planes_hbm, drift_hbm, base_hbm,
+                   pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
+                   sem):
+    """The 2D streaming chunk phase (shared by the XL and big-N
+    kernels): double-buffered window DMAs + pair updates + drift
+    write-backs for one merge group of `cgs` chunks."""
+
+    def dma(src, dst, s):
+        cp = pltpu.make_async_copy(src, dst, sem.at[s])
+        cp.start()
+        cp.wait()
+
+    def dma_group(*copies):
+        objs = [
+            pltpu.make_async_copy(src, dst, sem.at[s])
+            for src, dst, s in copies
+        ]
+        for o in objs:
+            o.start()
+        for o in objs:
+            o.wait()
+
+    keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
+
+    def read_copies(c):
+        """The 6 uniform window reads of chunk c into slot c&1: the
+        union span at o_blk (covers A and near-B) plus the far-B span
+        at r0 (redundant for near chunks; uniformity lets chunk c+1's
+        reads prefetch during chunk c's compute without branching).
+
+        Concurrency contract: a chunk whose windows intersect the
+        previous chunk's windows carries sync=1 in the od array
+        (_pack_od_xl) and is NOT prefetched — its reads are issued
+        after that chunk's drift write-back completes.  All other
+        chunks touch disjoint spans, so their prefetched reads
+        cannot observe (or clobber) in-flight write-backs; results
+        are bit-identical to the fully serialized kernel."""
+        slot = c & 1
+        o_blk = od_smem[0, c]
+        D = od_smem[1, c]
+        r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+        return [
+            pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(o_blk, _UW), :],
+                pw_sc.at[slot], sem.at[slot * 6 + 0]),
+            pltpu.make_async_copy(
+                drift_hbm.at[:, pl.ds(o_blk, _UW), :],
+                cw_sc.at[slot], sem.at[slot * 6 + 1]),
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(o_blk, _UW), :],
+                bw_sc.at[slot], sem.at[slot * 6 + 2]),
+            pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                pwb_sc.at[slot], sem.at[slot * 6 + 3]),
+            pltpu.make_async_copy(
+                drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                cwb_sc.at[slot], sem.at[slot * 6 + 4]),
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                bwb_sc.at[slot], sem.at[slot * 6 + 5]),
+        ]
+
+    for cp in read_copies(0):
+        cp.start()
+
+    def chunk(c, _):
+        slot = c & 1
+        gl = gid * cgs + c
+        o_blk = od_smem[0, c]
+        D = od_smem[1, c]
+        r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+        c_sh = jnp.bitwise_and(D, LANE - 1)
+        keep = keep_tpl < (LANE - c_sh)
+        near = D < (2 * CHUNK)
+
+        # sync chunks were NOT prefetched (their windows intersect
+        # the previous chunk's write-back): read them now, after it
+        @pl.when(od_smem[2, c] != 0)
+        def _():
+            for cp in read_copies(c):
+                cp.start()
+
+        for cp in read_copies(c):
+            cp.wait()
+
+        # clamp the lookahead (c+1 == cgs_pad on the last chunk when
+        # cgs is already lane-aligned); the value is discarded there
+        nxt = jnp.minimum(c + 1, od_smem.shape[1] - 1)
+        @pl.when(jnp.logical_and(c + 1 < cgs,
+                                 od_smem[2, nxt] == 0))
+        def _():
+            for cp in read_copies(c + 1):
+                cp.start()
+
+        # ---- near path: one union window of _UW rows at o_blk ----
+        @pl.when(near)
+        def _():
+            db = r0 - o_blk  # rows 0..15 (D < 2*CHUNK)
+            pa = pw_sc[slot, :, 0:RC, :]
+            pb = _rot_b(
+                pw_sc[slot, :, pl.ds(db, 2 * RC), :], c_sh, keep
+            )
+            ca_ = (cw_sc[slot, :, 0:RC, :]
+                   + bw_sc[slot, :, 0:RC, :])
+            cb_rows = (
+                cw_sc[slot, :, pl.ds(db, 2 * RC), :]
+                + bw_sc[slot, :, pl.ds(db, 2 * RC), :]
+            )
+            cb_ = _rot_b(cb_rows, c_sh, keep)
+            va, vb = _compute_pair(pa, pb, ca_, cb_, eta_lr,
+                                   meta_ref[0] + gl)
+            wb_sc[:] = cw_sc[slot]
+            wb_sc[:, 0:RC, :] = wb_sc[:, 0:RC, :] + va
+            sb = _spread_b(vb, c_sh, lane2)
+            wb_sc[:, pl.ds(db, 2 * RC), :] = (
+                wb_sc[:, pl.ds(db, 2 * RC), :] + sb
+            )
+            dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 14)
+
+        # ---- far path: A from the union span, B from its own span --
+        @pl.when(jnp.logical_not(near))
+        def _():
+            pa = pw_sc[slot, :, 0:RC, :]
+            pb = _rot_b(pwb_sc[slot], c_sh, keep)
+            ca_ = (cw_sc[slot, :, 0:RC, :]
+                   + bw_sc[slot, :, 0:RC, :])
+            cb_ = _rot_b(cwb_sc[slot] + bwb_sc[slot], c_sh, keep)
+            va, vb = _compute_pair(pa, pb, ca_, cb_, eta_lr,
+                                   meta_ref[0] + gl)
+            wb_sc[:, 0:RC, :] = cw_sc[slot, :, 0:RC, :] + va
+            sb = _spread_b(vb, c_sh, lane2)
+            wb_sc[:, RC : RC + 2 * RC, :] = cwb_sc[slot] + sb
+            dma_group(
+                (wb_sc.at[:, 0:RC, :],
+                 drift_hbm.at[:, pl.ds(o_blk, RC), :], 14),
+                (wb_sc.at[:, RC : RC + 2 * RC, :],
+                 drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 15),
+            )
+
+        return 0
+
+    jax.lax.fori_loop(0, cgs, chunk, 0)
+
+
 def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
     def kernel(meta_ref, eta_ref, od_ref, planes_hbm, cp0_hbm, xy_ref,
                recip_ref, drift_in, base_in, lo_in, out_ref, drift_hbm,
@@ -217,127 +363,10 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
         _stage_group_scalars(od_ref, od_smem, sem.at[12], gid)
         eta_lr = eta_ref[gid]
 
-        keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
-
-        def read_copies(c):
-            """The 6 uniform window reads of chunk c into slot c&1: the
-            union span at o_blk (covers A and near-B) plus the far-B span
-            at r0 (redundant for near chunks; uniformity lets chunk c+1's
-            reads prefetch during chunk c's compute without branching).
-
-            Concurrency contract: a chunk whose windows intersect the
-            previous chunk's windows carries sync=1 in the od array
-            (_pack_od_xl) and is NOT prefetched — its reads are issued
-            after that chunk's drift write-back completes.  All other
-            chunks touch disjoint spans, so their prefetched reads
-            cannot observe (or clobber) in-flight write-backs; results
-            are bit-identical to the fully serialized kernel."""
-            slot = c & 1
-            o_blk = od_smem[0, c]
-            D = od_smem[1, c]
-            r0 = o_blk + jax.lax.shift_right_logical(D, 7)
-            return [
-                pltpu.make_async_copy(
-                    planes_hbm.at[:, pl.ds(o_blk, _UW), :],
-                    pw_sc.at[slot], sem.at[slot * 6 + 0]),
-                pltpu.make_async_copy(
-                    drift_hbm.at[:, pl.ds(o_blk, _UW), :],
-                    cw_sc.at[slot], sem.at[slot * 6 + 1]),
-                pltpu.make_async_copy(
-                    base_hbm.at[:, pl.ds(o_blk, _UW), :],
-                    bw_sc.at[slot], sem.at[slot * 6 + 2]),
-                pltpu.make_async_copy(
-                    planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                    pwb_sc.at[slot], sem.at[slot * 6 + 3]),
-                pltpu.make_async_copy(
-                    drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                    cwb_sc.at[slot], sem.at[slot * 6 + 4]),
-                pltpu.make_async_copy(
-                    base_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                    bwb_sc.at[slot], sem.at[slot * 6 + 5]),
-            ]
-
-        for cp in read_copies(0):
-            cp.start()
-
-        def chunk(c, _):
-            slot = c & 1
-            gl = gid * cgs + c
-            o_blk = od_smem[0, c]
-            D = od_smem[1, c]
-            r0 = o_blk + jax.lax.shift_right_logical(D, 7)
-            c_sh = jnp.bitwise_and(D, LANE - 1)
-            keep = keep_tpl < (LANE - c_sh)
-            near = D < (2 * CHUNK)
-
-            # sync chunks were NOT prefetched (their windows intersect
-            # the previous chunk's write-back): read them now, after it
-            @pl.when(od_smem[2, c] != 0)
-            def _():
-                for cp in read_copies(c):
-                    cp.start()
-
-            for cp in read_copies(c):
-                cp.wait()
-
-            # clamp the lookahead (c+1 == cgs_pad on the last chunk when
-            # cgs is already lane-aligned); the value is discarded there
-            nxt = jnp.minimum(c + 1, od_smem.shape[1] - 1)
-            @pl.when(jnp.logical_and(c + 1 < cgs,
-                                     od_smem[2, nxt] == 0))
-            def _():
-                for cp in read_copies(c + 1):
-                    cp.start()
-
-            # ---- near path: one union window of _UW rows at o_blk ----
-            @pl.when(near)
-            def _():
-                db = r0 - o_blk  # rows 0..15 (D < 2*CHUNK)
-                pa = pw_sc[slot, :, 0:RC, :]
-                pb = _rot_b(
-                    pw_sc[slot, :, pl.ds(db, 2 * RC), :], c_sh, keep
-                )
-                ca_ = (cw_sc[slot, :, 0:RC, :]
-                       + bw_sc[slot, :, 0:RC, :])
-                cb_rows = (
-                    cw_sc[slot, :, pl.ds(db, 2 * RC), :]
-                    + bw_sc[slot, :, pl.ds(db, 2 * RC), :]
-                )
-                cb_ = _rot_b(cb_rows, c_sh, keep)
-                va, vb = _compute_pair(pa, pb, ca_, cb_, eta_lr,
-                                       meta_ref[0] + gl)
-                wb_sc[:] = cw_sc[slot]
-                wb_sc[:, 0:RC, :] = wb_sc[:, 0:RC, :] + va
-                sb = _spread_b(vb, c_sh, lane2)
-                wb_sc[:, pl.ds(db, 2 * RC), :] = (
-                    wb_sc[:, pl.ds(db, 2 * RC), :] + sb
-                )
-                dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 14)
-
-            # ---- far path: A from the union span, B from its own span --
-            @pl.when(jnp.logical_not(near))
-            def _():
-                pa = pw_sc[slot, :, 0:RC, :]
-                pb = _rot_b(pwb_sc[slot], c_sh, keep)
-                ca_ = (cw_sc[slot, :, 0:RC, :]
-                       + bw_sc[slot, :, 0:RC, :])
-                cb_ = _rot_b(cwb_sc[slot] + bwb_sc[slot], c_sh, keep)
-                va, vb = _compute_pair(pa, pb, ca_, cb_, eta_lr,
-                                       meta_ref[0] + gl)
-                wb_sc[:, 0:RC, :] = cw_sc[slot, :, 0:RC, :] + va
-                sb = _spread_b(vb, c_sh, lane2)
-                wb_sc[:, RC : RC + 2 * RC, :] = cwb_sc[slot] + sb
-                dma_group(
-                    (wb_sc.at[:, 0:RC, :],
-                     drift_hbm.at[:, pl.ds(o_blk, RC), :], 14),
-                    (wb_sc.at[:, RC : RC + 2 * RC, :],
-                     drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 15),
-                )
-
-            return 0
-
-        jax.lax.fori_loop(0, cgs, chunk, 0)
+        _run_chunks_2d(cgs, gid, meta_ref, od_smem, eta_lr,
+                       planes_hbm, drift_hbm, base_hbm,
+                       pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
+                       sem)
 
         # ---- consensus merge, streaming tiles from HBM ----
         iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
@@ -592,6 +621,116 @@ def _spread_b1(v, c_sh, lane2):
     return jnp.where(lane2 >= c_sh, top, bot)
 
 
+def _run_chunks_1d(cgs, gid, meta_ref, od_smem, eta_lr,
+                   planes_hbm, drift_hbm, base_hbm,
+                   pw_sc, cw_sc, bw_sc, wb_sc, sem):
+    """The 1D streaming chunk phase (shared by the XL and big-N
+    kernels).  1D chunks are serialized (DMA per chunk, no
+    double-buffering): the sort workload is merge-dominated, and the
+    simpler schedule keeps the union-window write-back race-free."""
+    del gid, meta_ref  # 1D update math consumes no coins
+
+    def dma(src, dst, s):
+        cp = pltpu.make_async_copy(src, dst, sem.at[s])
+        cp.start()
+        cp.wait()
+
+    def dma_group(*copies):
+        objs = [
+            pltpu.make_async_copy(src, dst, sem.at[s])
+            for src, dst, s in copies
+        ]
+        for o in objs:
+            o.start()
+        for o in objs:
+            o.wait()
+
+    keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
+
+    def chunk(c, _):
+        o_blk = od_smem[0, c]
+        D = od_smem[1, c]
+        r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+        c_sh = jnp.bitwise_and(D, LANE - 1)
+        keep = keep_tpl < (LANE - c_sh)
+        near = D < (2 * CHUNK)
+
+        @pl.when(near)
+        def _():
+            db = r0 - o_blk
+            dma_group(
+                (planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0),
+                (drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1),
+                (base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2),
+            )
+            pa = pw_sc[_P1_POS, 0:RC, :]
+            patha = pw_sc[_P1_PATH, 0:RC, :]
+            pbw = _rot_b(pw_sc[:, pl.ds(db, 2 * RC), :], c_sh, keep)
+            xa = cw_sc[0, 0:RC, :] + bw_sc[0, 0:RC, :]
+            xbw = _rot_b(
+                cw_sc[:, pl.ds(db, 2 * RC), :]
+                + bw_sc[:, pl.ds(db, 2 * RC), :],
+                c_sh, keep,
+            )
+            rr = _compute_pair_1d(
+                pa, patha, pbw[_P1_POS], pbw[_P1_PATH], xa, xbw[0],
+                eta_lr,
+            )
+            wb_sc[:] = cw_sc[:]
+            wb_sc[0, 0:RC, :] = wb_sc[0, 0:RC, :] - rr
+            sb = _spread_b1(rr[None], c_sh, lane2)
+            wb_sc[:, pl.ds(db, 2 * RC), :] = (
+                wb_sc[:, pl.ds(db, 2 * RC), :] + sb
+            )
+            dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 3)
+
+        @pl.when(jnp.logical_not(near))
+        def _():
+            dma_group(
+                (planes_hbm.at[:, pl.ds(o_blk, RC), :],
+                 pw_sc.at[:, 0:RC, :], 0),
+                (planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                 pw_sc.at[:, RC : RC + 2 * RC, :], 1),
+                (drift_hbm.at[:, pl.ds(o_blk, RC), :],
+                 cw_sc.at[:, 0:RC, :], 2),
+                (drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                 cw_sc.at[:, RC : RC + 2 * RC, :], 3),
+                (base_hbm.at[:, pl.ds(o_blk, RC), :],
+                 bw_sc.at[:, 0:RC, :], 4),
+                (base_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                 bw_sc.at[:, RC : RC + 2 * RC, :], 5),
+            )
+            pa = pw_sc[_P1_POS, 0:RC, :]
+            patha = pw_sc[_P1_PATH, 0:RC, :]
+            pbw = _rot_b(pw_sc[:, RC : RC + 2 * RC, :], c_sh, keep)
+            xa = cw_sc[0, 0:RC, :] + bw_sc[0, 0:RC, :]
+            xbw = _rot_b(
+                cw_sc[:, RC : RC + 2 * RC, :]
+                + bw_sc[:, RC : RC + 2 * RC, :],
+                c_sh, keep,
+            )
+            rr = _compute_pair_1d(
+                pa, patha, pbw[_P1_POS], pbw[_P1_PATH], xa, xbw[0],
+                eta_lr,
+            )
+            wb_sc[0, 0:RC, :] = cw_sc[0, 0:RC, :] - rr
+            sb = _spread_b1(rr[None], c_sh, lane2)
+            wb_sc[:, RC : RC + 2 * RC, :] = (
+                cw_sc[:, RC : RC + 2 * RC, :] + sb
+            )
+            dma_group(
+                (wb_sc.at[:, 0:RC, :],
+                 drift_hbm.at[:, pl.ds(o_blk, RC), :], 0),
+                (wb_sc.at[:, RC : RC + 2 * RC, :],
+                 drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1),
+            )
+
+        return 0
+
+    jax.lax.fori_loop(0, cgs, chunk, 0)
+
+
 def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
     def kernel(meta_ref, eta_ref, od_ref, planes_hbm, cp0_hbm, x_ref,
                recip_ref, drift_in, base_in, lo_in, out_ref, drift_hbm,
@@ -638,90 +777,9 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
         _stage_group_scalars(od_ref, od_smem, sem.at[7], gid)
         eta_lr = eta_ref[gid]
 
-        keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
-
-        def chunk(c, _):
-            o_blk = od_smem[0, c]
-            D = od_smem[1, c]
-            r0 = o_blk + jax.lax.shift_right_logical(D, 7)
-            c_sh = jnp.bitwise_and(D, LANE - 1)
-            keep = keep_tpl < (LANE - c_sh)
-            near = D < (2 * CHUNK)
-
-            @pl.when(near)
-            def _():
-                db = r0 - o_blk
-                dma_group(
-                    (planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0),
-                    (drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1),
-                    (base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2),
-                )
-                pa = pw_sc[_P1_POS, 0:RC, :]
-                patha = pw_sc[_P1_PATH, 0:RC, :]
-                pbw = _rot_b(pw_sc[:, pl.ds(db, 2 * RC), :], c_sh, keep)
-                xa = cw_sc[0, 0:RC, :] + bw_sc[0, 0:RC, :]
-                xbw = _rot_b(
-                    cw_sc[:, pl.ds(db, 2 * RC), :]
-                    + bw_sc[:, pl.ds(db, 2 * RC), :],
-                    c_sh, keep,
-                )
-                rr = _compute_pair_1d(
-                    pa, patha, pbw[_P1_POS], pbw[_P1_PATH], xa, xbw[0],
-                    eta_lr,
-                )
-                wb_sc[:] = cw_sc[:]
-                wb_sc[0, 0:RC, :] = wb_sc[0, 0:RC, :] - rr
-                sb = _spread_b1(rr[None], c_sh, lane2)
-                wb_sc[:, pl.ds(db, 2 * RC), :] = (
-                    wb_sc[:, pl.ds(db, 2 * RC), :] + sb
-                )
-                dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 3)
-
-            @pl.when(jnp.logical_not(near))
-            def _():
-                dma_group(
-                    (planes_hbm.at[:, pl.ds(o_blk, RC), :],
-                     pw_sc.at[:, 0:RC, :], 0),
-                    (planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                     pw_sc.at[:, RC : RC + 2 * RC, :], 1),
-                    (drift_hbm.at[:, pl.ds(o_blk, RC), :],
-                     cw_sc.at[:, 0:RC, :], 2),
-                    (drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                     cw_sc.at[:, RC : RC + 2 * RC, :], 3),
-                    (base_hbm.at[:, pl.ds(o_blk, RC), :],
-                     bw_sc.at[:, 0:RC, :], 4),
-                    (base_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                     bw_sc.at[:, RC : RC + 2 * RC, :], 5),
-                )
-                pa = pw_sc[_P1_POS, 0:RC, :]
-                patha = pw_sc[_P1_PATH, 0:RC, :]
-                pbw = _rot_b(pw_sc[:, RC : RC + 2 * RC, :], c_sh, keep)
-                xa = cw_sc[0, 0:RC, :] + bw_sc[0, 0:RC, :]
-                xbw = _rot_b(
-                    cw_sc[:, RC : RC + 2 * RC, :]
-                    + bw_sc[:, RC : RC + 2 * RC, :],
-                    c_sh, keep,
-                )
-                rr = _compute_pair_1d(
-                    pa, patha, pbw[_P1_POS], pbw[_P1_PATH], xa, xbw[0],
-                    eta_lr,
-                )
-                wb_sc[0, 0:RC, :] = cw_sc[0, 0:RC, :] - rr
-                sb = _spread_b1(rr[None], c_sh, lane2)
-                wb_sc[:, RC : RC + 2 * RC, :] = (
-                    cw_sc[:, RC : RC + 2 * RC, :] + sb
-                )
-                dma_group(
-                    (wb_sc.at[:, 0:RC, :],
-                     drift_hbm.at[:, pl.ds(o_blk, RC), :], 0),
-                    (wb_sc.at[:, RC : RC + 2 * RC, :],
-                     drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1),
-                )
-
-            return 0
-
-        jax.lax.fori_loop(0, cgs, chunk, 0)
+        _run_chunks_1d(cgs, gid, meta_ref, od_smem, eta_lr,
+                       planes_hbm, drift_hbm, base_hbm,
+                       pw_sc, cw_sc, bw_sc, wb_sc, sem)
 
         iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
         iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)

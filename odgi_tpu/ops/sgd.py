@@ -551,6 +551,7 @@ def path_sgd_1d(
     if cfg.pallas and pin_nodes is None and snapshot_cb is None:
         from .pallas_sgd import pallas_supported_1d, path_sgd_1d_pallas
         from .pallas_sgd_xl import path_sgd_1d_pallas_xl, xl_supported_1d
+        from .pallas_sgd_xxl import path_sgd_1d_pallas_xxl, xxl_supported_1d
 
         g_eff = g
         if use_paths is not None and sorted(use_paths) != list(range(g.num_paths)):
@@ -559,6 +560,9 @@ def path_sgd_1d(
             return path_sgd_1d_pallas(g_eff, cfg, x0=x0)
         if xl_supported_1d(g_eff, cfg):
             return path_sgd_1d_pallas_xl(g_eff, cfg, x0=x0)
+        if xxl_supported_1d(g_eff, cfg):
+            # node count past the capped kernels: block-merge variant
+            return path_sgd_1d_pallas_xxl(g_eff, cfg, x0=x0)
     data = SgdData.build(
         g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step, use_paths
     )
@@ -660,6 +664,7 @@ def path_sgd_2d(
     if cfg.pallas and pin_nodes is None and snapshot_cb is None:
         from .pallas_sgd import pallas_supported, path_sgd_2d_pallas
         from .pallas_sgd_xl import path_sgd_2d_pallas_xl, xl_supported
+        from .pallas_sgd_xxl import path_sgd_2d_pallas_xxl, xxl_supported
 
         g_eff = g
         if use_paths is not None and sorted(use_paths) != list(range(g.num_paths)):
@@ -669,6 +674,9 @@ def path_sgd_2d(
         if xl_supported(g_eff, cfg):
             # VMEM-resident planes don't fit: HBM-streaming variant
             return path_sgd_2d_pallas_xl(g_eff, coords0, cfg)
+        if xxl_supported(g_eff, cfg):
+            # node count past the capped kernels: block-merge variant
+            return path_sgd_2d_pallas_xxl(g_eff, coords0, cfg)
     data = SgdData.build(
         g, cfg.theta, cfg.space, cfg.space_max, cfg.space_quantization_step, use_paths
     )

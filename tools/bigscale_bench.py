@@ -48,12 +48,17 @@ def synth_graph(num_steps: int, num_nodes: int, path_steps: int,
 
     # near-monotone walk per path (real haplotypes traverse a sorted
     # graph mostly forward with occasional stalls/backtracks); each path
-    # spans the full node range so deep coverage stays pangenome-shaped
+    # spans the full node range so deep coverage stays pangenome-shaped.
+    # Works for any node:step ratio (chromosome graphs have ~1 step/node
+    # per haplotype; deep-coverage pangenomes have hundreds).
     adv = num_nodes / path_steps
-    steps = rng.choice(
-        [0, 1, 2, -1], size=S,
-        p=[max(1 - adv - 0.1, 0.0), adv + 0.05, 0.025, 0.025],
-    ).reshape(P, path_steps)
+    base = int(adv)
+    frac = adv - base
+    steps = base + (rng.random(S) < frac).astype(np.int64)
+    # ~5% stall/backtrack noise, mean-compensated so paths still span
+    # the whole range
+    noise = rng.choice([0, 1, -1], size=S, p=[0.95, 0.025, 0.025])
+    steps = (steps + noise).reshape(P, path_steps)
     steps[:, 0] = 0
     node = np.clip(np.cumsum(steps, axis=1), 0, num_nodes - 1).reshape(-1)
     orient = rng.integers(0, 2, S)
@@ -92,6 +97,15 @@ def main():
                     help="iterations for the rate measurement (full "
                          "schedules take minutes at this scale)")
     ap.add_argument("--dim", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--no-xla", action="store_true",
+                    help="skip the XLA fallback comparison (it takes "
+                         "hours at million-node scale)")
+    ap.add_argument("--quality", action="store_true",
+                    help="report 1D nt-distance before/after")
+    ap.add_argument("--shuffle", action="store_true",
+                    help="random-permute node ids before the run (the "
+                         "synthetic walk is generated near-sorted; a "
+                         "sort demo must start unsorted)")
     args = ap.parse_args()
 
     import jax
@@ -100,11 +114,15 @@ def main():
     from odgi_tpu.ops import sgd
 
     g = synth_graph(args.steps, args.nodes, args.path_steps)
+    if args.shuffle:
+        perm = np.random.default_rng(5).permutation(g.num_nodes)
+        g = g.apply_ordering(perm)
     print(json.dumps({"graph": "synthetic", "nodes": g.num_nodes,
                       "steps": g.num_steps, "paths": g.num_paths}),
           flush=True)
 
     from odgi_tpu.ops import pallas_sgd_xl as xl
+    from odgi_tpu.ops import pallas_sgd_xxl as xxl
 
     one_d = args.dim == 1
     derive = sgd.derive_config_1d if one_d else sgd.derive_config_2d
@@ -113,15 +131,21 @@ def main():
         g, cfg
     )
     xl_ok = (xl.xl_supported_1d if one_d else xl.xl_supported)(g, cfg)
+    xxl_ok = (xxl.xxl_supported_1d if one_d else xxl.xxl_supported)(g, cfg)
     streaming = (not resident) and xl_ok
-    sup = resident or streaming
+    big_n = (not resident) and (not xl_ok) and xxl_ok
+    sup = resident or streaming or big_n
     out = {"dim": args.dim, "iters": args.iters,
            "pallas_supported": bool(sup),
            "pallas_variant": "resident" if resident else
-           ("streaming" if streaming else None),
+           ("streaming" if streaming else
+            ("block-merge" if big_n else None)),
            "backend": jax.default_backend()}
     if one_d:
-        if streaming:
+        if big_n:
+            run_pallas = lambda: xxl.path_sgd_1d_pallas_xxl(
+                g, cfg, interpret=False)
+        elif streaming:
             run_pallas = lambda: xl.path_sgd_1d_pallas_xl(g, cfg)
         else:
             run_pallas = lambda: ps.path_sgd_1d_pallas(g, cfg,
@@ -131,7 +155,10 @@ def main():
         from odgi_tpu.algorithms.layout import init_layout
 
         c0 = init_layout(g, "d")
-        if streaming:
+        if big_n:
+            run_pallas = lambda: xxl.path_sgd_2d_pallas_xxl(
+                g, c0, cfg, interpret=False)
+        elif streaming:
             run_pallas = lambda: xl.path_sgd_2d_pallas_xl(g, c0, cfg)
         else:
             run_pallas = lambda: ps.path_sgd_2d_pallas(g, c0, cfg,
@@ -148,6 +175,21 @@ def main():
         out["pallas_wall_s"] = round(dt, 2)
         out["pallas_valid_pairs_per_sec"] = round(p["total_valid"] / dt)
         out["finite"] = bool(np.isfinite(np.asarray(x)).all())
+        if one_d and args.quality:
+            # sort-quality gate: nt-space distance must improve vs the
+            # identity order (sampled to keep host time bounded)
+            from odgi_tpu.algorithms import stats
+            from odgi_tpu.algorithms.path_sgd_sort import order_from_x
+
+            g2 = g.apply_ordering(order_from_x(g, np.asarray(x)))
+            d0 = float(stats.sum_of_path_node_distances(g).all_nt_space)
+            d1 = float(stats.sum_of_path_node_distances(g2).all_nt_space)
+            out["nt_dist_before"] = round(d0, 4)
+            out["nt_dist_after"] = round(d1, 4)
+
+    if args.no_xla:
+        print(json.dumps(out), flush=True)
+        return
 
     cfgf = derive(g, iter_max=args.iters, pallas=False)
     t0 = time.time()
