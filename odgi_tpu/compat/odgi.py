@@ -90,7 +90,10 @@ class graph:
 
     def clear(self):
         self._seqs: Dict[int, bytes] = {}  # id -> forward sequence
-        self._edges: set = set()  # canonical (id_handle_a, id_handle_b)
+        # canonical ((id, rev), (id, rev)) -> None; INSERTION-ORDERED so
+        # per-node traversal order projects the creation order like the
+        # reference's node_t edge records
+        self._edges: Dict[tuple, None] = {}
         self._paths: List[dict] = []  # {name, circular, steps:[(id, rev)]}
         self._path_by_name: Dict[str, int] = {}
         self._next_id = 1
@@ -123,7 +126,7 @@ class graph:
             b = GraphBuilder()
             for nid in self._ids_sorted():
                 b.add_node(nid, self._seqs[nid])
-            for (a, b_) in sorted(self._edges):
+            for (a, b_) in self._edges:
                 b.add_edge(a[0], a[1], b_[0], b_[1])
             for pm in self._paths:
                 pi = b.add_path(pm["name"], pm["circular"])
@@ -142,7 +145,7 @@ class graph:
         for fh, th in zip(g.edge_from, g.edge_to):
             a = (int(ids[int(fh) >> 1]), bool(int(fh) & 1))
             bb = (int(ids[int(th) >> 1]), bool(int(th) & 1))
-            out._edges.add(cls._canon(a, bb))
+            out._edges[cls._canon(a, bb)] = None
         for p in range(g.num_paths):
             lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
             steps = [
@@ -163,10 +166,17 @@ class graph:
     # ---- handle helpers (number_bool_packing on ids) ----------------------
 
     def get_handle(self, node_id: int, is_reverse: bool = False) -> int:
-        return (int(node_id) << 1) | int(is_reverse)
+        # reference packing: rank = id - 1 - id_increment
+        # (src/odgi.cpp:30-37; number_bool_packing)
+        return ((int(node_id) - 1) << 1) | int(is_reverse)
 
     def get_id(self, handle: int) -> int:
-        return handle >> 1
+        return (handle >> 1) + 1
+
+    @staticmethod
+    def _hid(handle: int) -> int:
+        """Internal: node id from a public handle."""
+        return (handle >> 1) + 1
 
     def get_is_reverse(self, handle: int) -> bool:
         return bool(handle & 1)
@@ -179,7 +189,8 @@ class graph:
 
     def edge_handle(self, left: int, right: int) -> edge:
         a, b = self._canon(
-            (left >> 1, bool(left & 1)), (right >> 1, bool(right & 1))
+            (self._hid(left), bool(left & 1)),
+            (self._hid(right), bool(right & 1)),
         )
         return edge(self.get_handle(*a), self.get_handle(*b))
 
@@ -189,10 +200,10 @@ class graph:
         return node_id in self._seqs
 
     def get_length(self, handle: int) -> int:
-        return len(self._seqs[handle >> 1])
+        return len(self._seqs[self._hid(handle)])
 
     def get_sequence(self, handle: int) -> str:
-        seq = self._seqs[handle >> 1]
+        seq = self._seqs[self._hid(handle)]
         if handle & 1:
             from ..core.graph import revcomp_bytes
 
@@ -216,7 +227,7 @@ class graph:
     def get_step_count(self, handle_or_path) -> int:
         if isinstance(handle_or_path, int) and handle_or_path >= 0:
             # node handle: number of steps on the node
-            nid = handle_or_path >> 1
+            nid = self._hid(handle_or_path)
             return sum(
                 1
                 for pm in self._paths
@@ -226,7 +237,7 @@ class graph:
         raise TypeError("get_step_count expects a node handle")
 
     def steps_of_handle(self, handle: int, match_orientation: bool = False):
-        nid = handle >> 1
+        nid = self._hid(handle)
         rev = bool(handle & 1)
         out = []
         for pi, pm in enumerate(self._paths):
@@ -238,9 +249,13 @@ class graph:
     # ---- traversal ---------------------------------------------------------
 
     def follow_edges(self, handle: int, go_left: bool, iteratee) -> bool:
-        nid = handle >> 1
+        nid = self._hid(handle)
         rev = bool(handle & 1)
-        for (a, b) in sorted(self._edges):
+        # iteration follows edge CREATION order: its projection onto a
+        # node equals the reference node_t record order (the .og loader
+        # reconstructs creation order, io/og_compat.py:219-228), so
+        # traversal order matches the reference exactly
+        for (a, b) in self._edges:
             for (x, y, to_curr) in ((a, b, False), (b, a, True)):
                 if x[0] != nid:
                     continue
@@ -265,7 +280,7 @@ class graph:
         return True
 
     def for_each_edge(self, iteratee) -> bool:
-        for (a, b) in sorted(self._edges):
+        for (a, b) in self._edges:
             if iteratee(edge(self.get_handle(*a), self.get_handle(*b))) is False:
                 return False
         return True
@@ -383,30 +398,32 @@ class graph:
         return self.get_handle(node_id, False)
 
     def destroy_handle(self, handle: int):
-        nid = handle >> 1
+        nid = self._hid(handle)
         del self._seqs[nid]
         self._edges = {
-            e for e in self._edges if e[0][0] != nid and e[1][0] != nid
+            e: None
+            for e in self._edges
+            if e[0][0] != nid and e[1][0] != nid
         }
         for pm in self._paths:
             pm["steps"] = [s for s in pm["steps"] if s[0] != nid]
         self._dirty()
 
     def create_edge(self, left: int, right: int):
-        a = (left >> 1, bool(left & 1))
-        b = (right >> 1, bool(right & 1))
-        self._edges.add(self._canon(a, b))
+        a = (self._hid(left), bool(left & 1))
+        b = (self._hid(right), bool(right & 1))
+        self._edges[self._canon(a, b)] = None
         self._dirty()
 
     def has_edge(self, left: int, right: int) -> bool:
-        a = (left >> 1, bool(left & 1))
-        b = (right >> 1, bool(right & 1))
+        a = (self._hid(left), bool(left & 1))
+        b = (self._hid(right), bool(right & 1))
         return self._canon(a, b) in self._edges
 
     def destroy_edge(self, left: int, right: int):
-        a = (left >> 1, bool(left & 1))
-        b = (right >> 1, bool(right & 1))
-        self._edges.discard(self._canon(a, b))
+        a = (self._hid(left), bool(left & 1))
+        b = (self._hid(right), bool(right & 1))
+        self._edges.pop(self._canon(a, b), None)
         self._dirty()
 
     def create_path_handle(self, name: str, is_circular: bool = False) -> int:
@@ -427,31 +444,33 @@ class graph:
 
     def append_step(self, path: int, handle: int) -> step_handle:
         pm = self._paths[path]
-        pm["steps"].append((handle >> 1, bool(handle & 1)))
+        pm["steps"].append((self._hid(handle), bool(handle & 1)))
         self._dirty()
         return step_handle(self, path, len(pm["steps"]) - 1)
 
     def prepend_step(self, path: int, handle: int) -> step_handle:
         pm = self._paths[path]
-        pm["steps"].insert(0, (handle >> 1, bool(handle & 1)))
+        pm["steps"].insert(0, (self._hid(handle), bool(handle & 1)))
         self._dirty()
         return step_handle(self, path, 0)
 
     def insert_step(self, after: step_handle, handle: int) -> step_handle:
         pm = self._paths[after.path_idx]
-        pm["steps"].insert(after.rank + 1, (handle >> 1, bool(handle & 1)))
+        pm["steps"].insert(
+            after.rank + 1, (self._hid(handle), bool(handle & 1))
+        )
         self._dirty()
         return step_handle(self, after.path_idx, after.rank + 1)
 
     def set_step(self, step: step_handle, handle: int) -> step_handle:
         pm = self._paths[step.path_idx]
-        pm["steps"][step.rank] = (handle >> 1, bool(handle & 1))
+        pm["steps"][step.rank] = (self._hid(handle), bool(handle & 1))
         self._dirty()
         return step
 
     def rewrite_segment(self, begin: step_handle, end: step_handle, handles):
         pm = self._paths[begin.path_idx]
-        new = [(h >> 1, bool(h & 1)) for h in handles]
+        new = [(self._hid(h), bool(h & 1)) for h in handles]
         pm["steps"][begin.rank : end.rank] = new
         self._dirty()
         return (
@@ -463,7 +482,7 @@ class graph:
         """Split a node at offsets (forward-strand coords of the handle)."""
         if isinstance(offsets, int):
             offsets = [offsets]
-        nid = handle >> 1
+        nid = self._hid(handle)
         rev = bool(handle & 1)
         seq = self.get_sequence(handle)
         cuts = [0] + sorted(offsets) + [len(seq)]
@@ -489,7 +508,7 @@ class graph:
             e for e in self._edges if e[0][0] == nid or e[1][0] == nid
         ]
         for e in old_edges:
-            self._edges.discard(e)
+            self._edges.pop(e, None)
         for i, (iid, s) in enumerate(store):
             self._seqs[iid] = s
         first_id, last_id = store[0][0], store[-1][0]
@@ -504,13 +523,13 @@ class graph:
                 return (last_id, x[1])
             na = reroute(a, False)
             nb = reroute(b, True)
-            self._edges.add(self._canon(na, nb))
+            self._edges[self._canon(na, nb)] = None
         # chain edges between parts
         chain = [sid for sid, _ in store]
         for i in range(len(chain) - 1):
-            self._edges.add(
+            self._edges[
                 self._canon((chain[i], False), (chain[i + 1], False))
-            )
+            ] = None
         # rewrite path steps
         fwd_chain = [(sid, False) for sid, _ in store]
         rev_chain = [(sid, True) for sid, _ in reversed(store)]
@@ -530,9 +549,9 @@ class graph:
         """Concatenate a chain of handles into one node."""
         seq = "".join(self.get_sequence(h) for h in handles)
         new_h = self.create_handle(seq)
-        new_id = new_h >> 1
+        new_id = self._hid(new_h)
         first, last = handles[0], handles[-1]
-        ids = {h >> 1 for h in handles}
+        ids = {self._hid(h) for h in handles}
         # outer edges
         adds = []
         for (a, b) in list(self._edges):
@@ -541,23 +560,23 @@ class graph:
         # reconnect: edges into `first` start and out of `last` end
         for (a, b) in list(self._edges):
             if a[0] in ids or b[0] in ids:
-                self._edges.discard((a, b))
+                self._edges.pop((a, b), None)
                 def remap(x):
-                    if x[0] == first >> 1 and x[1] == bool(first & 1):
+                    if x[0] == self._hid(first) and x[1] == bool(first & 1):
                         return (new_id, False)
-                    if x[0] == last >> 1 and x[1] == bool(last & 1):
+                    if x[0] == self._hid(last) and x[1] == bool(last & 1):
                         return (new_id, False)
-                    if x[0] == first >> 1 and x[1] != bool(first & 1):
+                    if x[0] == self._hid(first) and x[1] != bool(first & 1):
                         return (new_id, True)
-                    if x[0] == last >> 1 and x[1] != bool(last & 1):
+                    if x[0] == self._hid(last) and x[1] != bool(last & 1):
                         return (new_id, True)
                     return None if x[0] in ids else x
                 na, nb = remap(a), remap(b)
                 if na and nb and not (na[0] == new_id and nb[0] == new_id):
-                    self._edges.add(self._canon(na, nb))
+                    self._edges[self._canon(na, nb)] = None
         # rewrite paths: replace runs of the chain
-        chain_f = [(h >> 1, bool(h & 1)) for h in handles]
-        chain_r = [(h >> 1, not bool(h & 1)) for h in reversed(handles)]
+        chain_f = [(self._hid(h), bool(h & 1)) for h in handles]
+        chain_r = [(self._hid(h), not bool(h & 1)) for h in reversed(handles)]
         L = len(chain_f)
         for pm in self._paths:
             s = pm["steps"]
@@ -575,7 +594,7 @@ class graph:
                     i += 1
             pm["steps"] = out
         for h in handles:
-            self._seqs.pop(h >> 1, None)
+            self._seqs.pop(self._hid(h), None)
         self._dirty()
         return self.get_handle(new_id, False)
 
@@ -583,17 +602,17 @@ class graph:
         """Flip a node to its reverse complement everywhere."""
         if not (handle & 1):
             return handle
-        nid = handle >> 1
+        nid = self._hid(handle)
         from ..core.graph import revcomp_bytes
 
         self._seqs[nid] = bytes(
             revcomp_bytes(np.frombuffer(self._seqs[nid], np.uint8))
         )
-        new_edges = set()
+        new_edges: Dict[tuple, None] = {}
         for (a, b) in self._edges:
             a = (a[0], not a[1]) if a[0] == nid else a
             b = (b[0], not b[1]) if b[0] == nid else b
-            new_edges.add(self._canon(a, b))
+            new_edges[self._canon(a, b)] = None
         self._edges = new_edges
         for pm in self._paths:
             pm["steps"] = [
@@ -606,10 +625,10 @@ class graph:
         """Renumber nodes following the given handle order."""
         mapping = {}
         for new_rank, h in enumerate(order):
-            mapping[h >> 1] = new_rank + 1
+            mapping[self._hid(h)] = new_rank + 1
         self._seqs = {mapping[i]: s for i, s in self._seqs.items()}
         self._edges = {
-            self._canon((mapping[a[0]], a[1]), (mapping[b[0]], b[1]))
+            self._canon((mapping[a[0]], a[1]), (mapping[b[0]], b[1])): None
             for (a, b) in self._edges
         }
         for pm in self._paths:

@@ -19,6 +19,21 @@ def odgi_version() -> str:
     return version.get_version()
 
 
+def odgi_long_long_size() -> int:
+    """Bit width of the FFI integer type (reference: odgi-api.cpp:29)."""
+    return 64
+
+
+def odgi_handle_i_size() -> int:
+    """Bit width of a node handle (reference: odgi-api.cpp:33)."""
+    return 64
+
+
+def odgi_step_handle_i_size() -> int:
+    """Bit width of a step handle (reference: odgi-api.cpp:37)."""
+    return 128
+
+
 def odgi_load_graph(filename: str) -> _graph:
     g = _graph()
     g.load(filename)

@@ -175,17 +175,28 @@ def main():
         out["pallas_wall_s"] = round(dt, 2)
         out["pallas_valid_pairs_per_sec"] = round(p["total_valid"] / dt)
         out["finite"] = bool(np.isfinite(np.asarray(x)).all())
-        if one_d and args.quality:
-            # sort-quality gate: nt-space distance must improve vs the
-            # identity order (sampled to keep host time bounded)
+        if args.quality:
             from odgi_tpu.algorithms import stats
-            from odgi_tpu.algorithms.path_sgd_sort import order_from_x
 
-            g2 = g.apply_ordering(order_from_x(g, np.asarray(x)))
-            d0 = float(stats.sum_of_path_node_distances(g).all_nt_space)
-            d1 = float(stats.sum_of_path_node_distances(g2).all_nt_space)
-            out["nt_dist_before"] = round(d0, 4)
-            out["nt_dist_after"] = round(d1, 4)
+            if one_d:
+                # sort-quality gate: nt-space distance must improve vs
+                # the input order
+                from odgi_tpu.algorithms.path_sgd_sort import order_from_x
+
+                g2 = g.apply_ordering(order_from_x(g, np.asarray(x)))
+                d0 = float(stats.sum_of_path_node_distances(g).all_nt_space)
+                d1 = float(stats.sum_of_path_node_distances(g2).all_nt_space)
+                out["nt_dist_before"] = round(d0, 4)
+                out["nt_dist_after"] = round(d1, 4)
+            else:
+                c = np.asarray(x, np.float64).reshape(-1, 2)
+                c00 = np.asarray(c0, np.float64).reshape(-1, 2)
+                s0 = float(stats.sum_of_path_node_distances(
+                    g, (c00[:, 0], c00[:, 1])).all_2d_by_nucleotides)
+                s1 = float(stats.sum_of_path_node_distances(
+                    g, (c[:, 0], c[:, 1])).all_2d_by_nucleotides)
+                out["stress_before"] = round(s0, 4)
+                out["stress_after"] = round(s1, 4)
 
     if args.no_xla:
         print(json.dumps(out), flush=True)
