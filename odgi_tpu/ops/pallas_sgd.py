@@ -559,7 +559,7 @@ def _rmw_b_stacked(ref, r0, c_sh, lane2, v):
 
 
 def _chunk_2d(planes_ref, drift_ref, base_ref, o_blk, D, eta_lr,
-              gchunk_global):
+              gchunk_global, dm_sc=None):
     """One chunk of CHUNK pair updates, replica style: contiguous reads,
     ~40 VPU ops, contiguous RMW writes.  Update math: layout.cu:141-188.
 
@@ -617,6 +617,14 @@ def _chunk_2d(planes_ref, drift_ref, base_ref, o_blk, D, eta_lr,
     rx = r * dx
     ry = r * dy
 
+    if dm_sc is not None:
+        # delta early-stop tracking (reference Delta_max,
+        # path_sgd.cpp:183-190): elementwise running max of the masked
+        # per-term update magnitude; reduced once per merge group
+        dm_sc[:] = jnp.maximum(
+            dm_sc[:], jnp.where(valid, jnp.abs(delta), 0.0)[None]
+        )
+
     zero = jnp.zeros_like(rx)
     if "noarmw" not in _ABLATE:
         va = jnp.stack([
@@ -632,7 +640,8 @@ def _chunk_2d(planes_ref, drift_ref, base_ref, o_blk, D, eta_lr,
         _rmw_b_stacked(drift_ref, r0, c_sh, lane2, vb)
 
 
-def _chunk_1d(planes_ref, drift_ref, base_ref, o_blk, D, eta_lr):
+def _chunk_1d(planes_ref, drift_ref, base_ref, o_blk, D, eta_lr,
+              dm_sc=None):
     """1D strata chunk on per-step X replicas, drift form (see _chunk_2d;
     reference: path_sgd.cpp:304-396 for the update math)."""
     r0 = o_blk + jax.lax.shift_right_logical(D, 7)
@@ -664,6 +673,11 @@ def _chunk_1d(planes_ref, drift_ref, base_ref, o_blk, D, eta_lr):
     mag = jnp.abs(dx)
     delta = mu * (mag - term) * 0.5
     rr = jnp.where(valid, delta / mag * dx, 0.0)
+
+    if dm_sc is not None:
+        dm_sc[:] = jnp.maximum(
+            dm_sc[:], jnp.where(valid, jnp.abs(delta), 0.0)[None]
+        )
 
     _rmw_a_stacked(drift_ref, o_blk, -rr[None])
     _rmw_b_stacked(drift_ref, r0, c_sh, lane2, rr[None])
@@ -862,13 +876,15 @@ def _stage_group_scalars(od_ref, od_smem, sem, gid):
     dma.wait()
 
 
-def _make_kernel_2d(cgs: int, n_tiles: int, nl: int):
+def _make_kernel_2d(cgs: int, n_tiles: int, nl: int, track: bool = False):
     """grid = (merge groups,); one grid step = cgs chunks + one consensus
-    merge.  Scalar prefetch: meta [gchunk_base, seed], o/D/eta arrays."""
+    merge.  Scalar prefetch: meta [gchunk_base, seed], o/D/eta arrays.
+    With `track`, the per-group max |delta| (the reference's Delta_max,
+    path_sgd.cpp:183-190) is reduced into the dmax output."""
 
     def kernel(meta_ref, eta_ref, od_ref, planes_ref, cp0_ref, xy_ref,
-               recip_ref, out_ref, drift_sc, base_sc, acc_sc, lo_sc,
-               od_smem, sem):
+               recip_ref, out_ref, dmax_ref, drift_sc, base_sc, acc_sc,
+               lo_sc, dm_sc, od_smem, sem):
         gid = pl.program_id(0)
 
         @pl.when(gid == 0)
@@ -878,6 +894,8 @@ def _make_kernel_2d(cgs: int, n_tiles: int, nl: int):
             out_ref[:] = xy_ref[:]
             lo_sc[:] = jnp.zeros_like(lo_sc)
 
+        if track:
+            dm_sc[:] = jnp.zeros_like(dm_sc)
         _stage_group_scalars(od_ref, od_smem, sem, gid)
         eta_lr = eta_ref[gid]
 
@@ -886,6 +904,7 @@ def _make_kernel_2d(cgs: int, n_tiles: int, nl: int):
             _chunk_2d(
                 planes_ref, drift_sc, base_sc, od_smem[0, c],
                 od_smem[1, c], eta_lr, meta_ref[0] + gl,
+                dm_sc if track else None,
             )
             return 0
 
@@ -896,6 +915,7 @@ def _make_kernel_2d(cgs: int, n_tiles: int, nl: int):
                 planes_ref, drift_sc, base_sc, out_ref, lo_sc, acc_sc,
                 recip_ref, n_tiles, nl,
             )
+        dmax_ref[gid] = jnp.max(dm_sc[:]) if track else 0.0
 
         # final group: fold the compensation plane into the output
         @pl.when(gid == pl.num_programs(0) - 1)
@@ -905,10 +925,10 @@ def _make_kernel_2d(cgs: int, n_tiles: int, nl: int):
     return kernel
 
 
-def _make_kernel_1d(cgs: int, n_tiles: int, nl: int):
+def _make_kernel_1d(cgs: int, n_tiles: int, nl: int, track: bool = False):
     def kernel(meta_ref, eta_ref, od_ref, planes_ref, cp0_ref, x_ref,
-               recip_ref, out_ref, drift_sc, base_sc, acc_sc, lo_sc,
-               od_smem, sem):
+               recip_ref, out_ref, dmax_ref, drift_sc, base_sc, acc_sc,
+               lo_sc, dm_sc, od_smem, sem):
         gid = pl.program_id(0)
 
         @pl.when(gid == 0)
@@ -918,12 +938,14 @@ def _make_kernel_1d(cgs: int, n_tiles: int, nl: int):
             out_ref[:] = x_ref[:]
             lo_sc[:] = jnp.zeros_like(lo_sc)
 
+        if track:
+            dm_sc[:] = jnp.zeros_like(dm_sc)
         _stage_group_scalars(od_ref, od_smem, sem, gid)
         eta_lr = eta_ref[gid]
 
         def body(c, _):
             _chunk_1d(planes_ref, drift_sc, base_sc, od_smem[0, c],
-                      od_smem[1, c], eta_lr)
+                      od_smem[1, c], eta_lr, dm_sc if track else None)
             return 0
 
         jax.lax.fori_loop(0, cgs, body, 0)
@@ -931,6 +953,7 @@ def _make_kernel_1d(cgs: int, n_tiles: int, nl: int):
             planes_ref, drift_sc, base_sc, out_ref, lo_sc, acc_sc,
             recip_ref, n_tiles, nl,
         )
+        dmax_ref[gid] = jnp.max(dm_sc[:]) if track else 0.0
 
         @pl.when(gid == pl.num_programs(0) - 1)
         def _():
@@ -941,17 +964,20 @@ def _make_kernel_1d(cgs: int, n_tiles: int, nl: int):
 
 @partial(
     jax.jit,
-    static_argnames=("groups", "cgs", "n_tiles", "nl", "one_d", "interpret"),
+    static_argnames=("groups", "cgs", "n_tiles", "nl", "one_d", "interpret",
+                     "track"),
 )
 def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
                  groups: int, cgs: int, n_tiles: int, nl: int,
-                 one_d: bool, interpret: bool):
+                 one_d: bool, interpret: bool, track: bool = False):
     np_planes = planes.shape[0]
     pr = planes.shape[1]
     ncp = cp0.shape[0]
     cgs_pad = od_all.shape[2]
     w = nl if one_d else 2 * nl
-    kernel = (_make_kernel_1d if one_d else _make_kernel_2d)(cgs, n_tiles, nl)
+    kernel = (_make_kernel_1d if one_d else _make_kernel_2d)(
+        cgs, n_tiles, nl, track
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(groups,),
@@ -972,14 +998,21 @@ def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
                 (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            # per-group Delta_max (delta early-stop): whole (groups,)
+            # array SMEM-resident across grid steps; each step writes
+            # its own slot
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((ncp, pr, LANE), jnp.float32),
             pltpu.VMEM((ncp, pr, LANE), jnp.float32),
             pltpu.VMEM((LANE, w), jnp.float32),
             pltpu.VMEM((LANE, w), jnp.float32),
+            pltpu.VMEM((1, RC, LANE), jnp.float32),
             pltpu.SMEM((2, cgs_pad), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -994,7 +1027,10 @@ def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((LANE, w), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((LANE, w), jnp.float32),
+            jax.ShapeDtypeStruct((groups,), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 vmem_need + 24 * 1024 * 1024, 127 * 1024 * 1024
@@ -1075,10 +1111,27 @@ def path_sgd_2d_pallas(
         ),
     )
     xy = xy0
+    track = cfg.delta > 0
 
-    for g0, n_g in _segments(p["groups"], cgs):
+    segs = _segments(p["groups"], cgs)
+    if track:
+        # delta early stop (reference: path_sgd.cpp:183-190) needs a
+        # host check per ITERATION: dispatch per iteration (same grid
+        # size every time -> one compiled kernel), stop when the
+        # iteration's Delta_max <= delta
+        mpi = p["groups"] // cfg.iter_max
+        sub = max(1, -(-(mpi * cgs) // MAX_CHUNKS))
+        gps = -(-mpi // sub)
+        segs = [
+            (it * mpi + s0, min(gps, mpi - s0))
+            for it in range(cfg.iter_max)
+            for s0 in range(0, mpi, gps)
+        ]
+
+    dmaxes: list = []
+    for g0, n_g in segs:
         meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
-        xy = _pallas_call(
+        xy, dmax = _pallas_call(
             meta,
             eta_g[g0 : g0 + n_g],
             od_all[g0 : g0 + n_g],
@@ -1092,7 +1145,15 @@ def path_sgd_2d_pallas(
             nl,
             False,
             bool(interpret),
+            track,
         )
+        if track:
+            dmaxes.append(np.asarray(dmax))
+            if (g0 + n_g) % mpi == 0:
+                dm_it = float(np.concatenate(dmaxes).max())
+                dmaxes = []
+                if dm_it <= cfg.delta:
+                    break
         if g0 + n_g < p["groups"]:
             # replicas collapse to consensus at every merge (= segment)
             # boundary, so rebuilding cp0 from the returned node coords is
@@ -1146,14 +1207,34 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None,
         ),
     )
     xn = xn0
+    track = cfg.delta > 0
 
-    for g0, n_g in _segments(p["groups"], cgs):
+    segs = _segments(p["groups"], cgs)
+    if track:
+        mpi = p["groups"] // cfg.iter_max
+        sub = max(1, -(-(mpi * cgs) // MAX_CHUNKS))
+        gps = -(-mpi // sub)
+        segs = [
+            (it * mpi + s0, min(gps, mpi - s0))
+            for it in range(cfg.iter_max)
+            for s0 in range(0, mpi, gps)
+        ]
+
+    dmaxes: list = []
+    for g0, n_g in segs:
         meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
-        xn = _pallas_call(
+        xn, dmax = _pallas_call(
             meta, eta_g[g0 : g0 + n_g], od_all[g0 : g0 + n_g],
             data.planes, cp0, xn, recip,
-            n_g, cgs, n_tiles, nl, True, bool(interpret),
+            n_g, cgs, n_tiles, nl, True, bool(interpret), track,
         )
+        if track:
+            dmaxes.append(np.asarray(dmax))
+            if (g0 + n_g) % mpi == 0:
+                dm_it = float(np.concatenate(dmaxes).max())
+                dmaxes = []
+                if dm_it <= cfg.delta:
+                    break
         if g0 + n_g < p["groups"]:
             host_x = node_array_to_x(np.asarray(xn), g.num_nodes)
             cp0 = jnp.asarray(_pad_planes(_step_x_plane(g, host_x)[None, :], pr))
@@ -1163,8 +1244,8 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None,
 def _supported(g, cfg, one_d: bool) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    if cfg.delta > 0:
-        return False
+    # cfg.delta > 0 IS supported here: the driver dispatches per
+    # iteration and early-stops on the kernel's Delta_max output
     S = g.num_steps
     if S < CHUNK:
         return False
@@ -1190,9 +1271,10 @@ def _supported(g, cfg, one_d: bool) -> bool:
 def pallas_supported(g, cfg) -> bool:
     """Whether the fused 2D kernel applies to this graph/config.
 
-    Requires: TPU backend, no delta early-stop (the kernel runs the full
-    schedule per dispatch), VMEM-resident step planes + replicas, node
-    capacity within the merge one-hot cap, positions < 2^30."""
+    Requires: TPU backend, VMEM-resident step planes + replicas, node
+    capacity within the merge one-hot cap, positions < 2^30.  Delta
+    early-stop (cfg.delta > 0) is supported via per-iteration
+    dispatches."""
     return _supported(g, cfg, one_d=False)
 
 

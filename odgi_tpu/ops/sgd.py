@@ -558,6 +558,15 @@ def path_sgd_1d(
             g_eff = g.keep_paths(sorted(use_paths))
         if pallas_supported_1d(g_eff, cfg):
             return path_sgd_1d_pallas(g_eff, cfg, x0=x0)
+        if cfg.delta > 0:
+            import sys as _sys
+
+            print(
+                "[odgi_tpu::sgd] note: delta early-stop (-j) with a "
+                "graph beyond the VMEM-resident kernel falls back to "
+                "the slower XLA path",
+                file=_sys.stderr,
+            )
         if xl_supported_1d(g_eff, cfg):
             return path_sgd_1d_pallas_xl(g_eff, cfg, x0=x0)
         if xxl_supported_1d(g_eff, cfg):
@@ -671,6 +680,15 @@ def path_sgd_2d(
             g_eff = g.keep_paths(sorted(use_paths))
         if pallas_supported(g_eff, cfg):
             return path_sgd_2d_pallas(g_eff, coords0, cfg, interpret=False)
+        if cfg.delta > 0:
+            import sys as _sys
+
+            print(
+                "[odgi_tpu::sgd] note: delta early-stop (-j) with a "
+                "graph beyond the VMEM-resident kernel falls back to "
+                "the slower XLA path",
+                file=_sys.stderr,
+            )
         if xl_supported(g_eff, cfg):
             # VMEM-resident planes don't fit: HBM-streaming variant
             return path_sgd_2d_pallas_xl(g_eff, coords0, cfg)

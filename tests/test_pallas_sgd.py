@@ -312,3 +312,59 @@ def test_xl_dispatch_predicates(drb_graph):
     cfg = sgd.derive_config_2d(drb_graph)
     assert jax.default_backend() == "cpu"
     assert not xl.xl_supported(drb_graph, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: delta early-stop on the Pallas path (reference:
+# path_sgd.cpp:183-190; round-4 verdict weak #5 — delta>0 used to
+# silently fall to the 30x-slower XLA path)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_zero_results_unchanged_by_track_plumbing(synth_graph):
+    """track=False must leave the kernel's output identical."""
+    g = synth_graph
+    cfg = sgd.derive_config_2d(g, iter_max=2, min_term_updates=3 * 1024)
+    c0 = init_layout(g, "d")
+    twin = np.asarray(ps.path_sgd_2d_strata_xla(g, c0, cfg))
+    kern = np.asarray(ps.path_sgd_2d_pallas(g, c0, cfg, interpret=True))
+    scale = np.abs(twin).max() + 1
+    assert np.abs(kern - twin).max() / scale < 1e-4
+
+
+def test_delta_early_stop_pallas_2d(synth_graph):
+    """A huge delta threshold must stop after the first iteration and
+    reproduce the 1-iteration run exactly."""
+    import dataclasses
+
+    g = synth_graph
+    cfg_stop = sgd.derive_config_2d(
+        g, iter_max=4, min_term_updates=3 * 1024, delta=1e9
+    )
+    c0 = init_layout(g, "d")
+    stopped = np.asarray(
+        ps.path_sgd_2d_pallas(g, c0, cfg_stop, interpret=True)
+    )
+    # same schedule geometry, one iteration, no delta: plan differs per
+    # cfg, so compare against the delta-run's own first iteration by
+    # running with an impossible threshold (never stops) and asserting
+    # MORE movement happened
+    cfg_full = dataclasses.replace(cfg_stop, delta=1e-30)
+    full = np.asarray(
+        ps.path_sgd_2d_pallas(g, c0, cfg_full, interpret=True)
+    )
+    d_stop = np.abs(stopped - np.asarray(c0, np.float64)).max()
+    d_full = np.abs(full - np.asarray(stopped)).max()
+    assert d_stop > 0  # one iteration did run
+    assert d_full > 0  # the full run kept optimizing past iteration 1
+
+
+def test_delta_supported_predicate(synth_graph, monkeypatch):
+    """delta > 0 no longer disqualifies the resident kernel (the
+    streaming variants still decline it)."""
+    from odgi_tpu.ops import pallas_sgd_xl as xl
+
+    cfg = sgd.derive_config_2d(synth_graph, delta=0.5)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert ps.pallas_supported(synth_graph, cfg)
+    assert not xl.xl_supported(synth_graph, cfg)
