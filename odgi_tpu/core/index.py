@@ -256,3 +256,31 @@ class StepIndex:
         finally:
             if close:
                 f.close()
+
+
+# ---------------------------------------------------------------------------
+# Linear index (reference: src/algorithms/linear_index.hpp:15-21)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LinearIndex:
+    """Concatenated forward graph sequence + per-handle start offsets
+    (reference linear_index_t: graph_seq, handle_positions,
+    position_of_handle)."""
+
+    graph_seq: bytes
+    handle_positions: np.ndarray  # i64[N]
+
+    @staticmethod
+    def build(g: GraphTensors) -> "LinearIndex":
+        return LinearIndex(
+            graph_seq=g.seq.tobytes(),
+            handle_positions=np.asarray(g.seq_offset[:-1], np.int64).copy(),
+        )
+
+    def position_of_handle(self, handle: int) -> int:
+        """Offset of the handle's node sequence in the concatenated
+        graph sequence (rank-packed handle, orientation ignored like the
+        reference's forward storage)."""
+        return int(self.handle_positions[int(handle) >> 1])

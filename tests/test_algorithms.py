@@ -175,3 +175,126 @@ def test_stats_2d():
     assert m.all_2d == 4.0
     d = stats.sum_of_path_node_distances(g, xy=(X, Y))
     assert d.all_2d_by_nodes == 4.0 / 2
+
+
+# ---------------------------------------------------------------------------
+# Round-5: vg helper algorithms, mondriaan sort, linear index
+# (reference: src/algorithms/{distance_to_head,distance_to_tail,
+# find_shortest_paths,sorted_id_ranges,extend,a_star,mondriaan_sort,
+# linear_index})
+# ---------------------------------------------------------------------------
+
+
+def _chain_graph(n=6, seqlen=3):
+    from odgi_tpu.core.graph import GraphBuilder
+
+    b = GraphBuilder()
+    for i in range(1, n + 1):
+        b.add_node(i, b"A" * seqlen)
+    for i in range(1, n):
+        b.add_edge(i, False, i + 1, False)
+    p = b.add_path("p")
+    for i in range(1, n + 1):
+        b.append_step(p, i, False)
+    return b.build()
+
+
+def test_distance_to_head_and_tail():
+    from odgi_tpu.algorithms import vg_algos as va
+
+    g = _chain_graph(n=5, seqlen=4)
+    h3 = 2 << 1  # rank 2 = node 3
+    # two nodes of 4nt between node 3 and the head
+    assert va.distance_to_head(g, h3, 1000) == 8
+    assert va.distance_to_tail(g, h3, 1000) == 8
+    assert va.distance_to_head(g, h3, 5) == -1  # limit too small
+    assert va.distance_to_head(g, 0, 1000) == 0  # node 1 IS the head
+    assert va.is_head_node(g, 0) and not va.is_tail_node(g, 0)
+
+
+def test_find_shortest_paths():
+    from odgi_tpu.algorithms import vg_algos as va
+
+    g = _chain_graph(n=4, seqlen=5)
+    d = va.find_shortest_paths(g, 0)
+    # distance from END of node 1: node2 at 0, node3 at 5, node4 at 10
+    assert d[0] == 0 and d[1 << 1] == 0
+    assert d[2 << 1] == 5 and d[3 << 1] == 10
+    dl = va.find_shortest_paths(g, 3 << 1, traverse_leftward=True)
+    assert dl[2 << 1] == 0 and dl[0] == 10
+
+
+def test_sorted_id_ranges():
+    from odgi_tpu.algorithms import vg_algos as va
+    from odgi_tpu.core.graph import GraphBuilder
+
+    b = GraphBuilder()
+    for i in (1, 2, 3, 7, 8, 11):
+        b.add_node(i, b"A")
+    g = b.build()
+    assert va.sorted_id_ranges(g) == [(1, 3), (7, 8), (11, 11)]
+
+
+def test_extend_copies_missing():
+    from odgi_tpu.algorithms import vg_algos as va
+    from odgi_tpu.compat import odgi as codgi
+
+    src = _chain_graph(n=4)
+    into = codgi.graph()
+    into.create_handle("AAA", 1)  # node 1 already present
+    va.extend(src, into)
+    assert into.get_node_count() == 4
+    assert into.has_edge(into.get_handle(2), into.get_handle(3))
+
+
+def test_a_star_min_path():
+    from odgi_tpu.algorithms import vg_algos as va
+    from odgi_tpu.core.graph import GraphBuilder
+
+    # diamond: 1 -> {2 (10nt), 3 (2nt)} -> 4
+    b = GraphBuilder()
+    b.add_node(1, b"AAAA")
+    b.add_node(2, b"A" * 10)
+    b.add_node(3, b"AA")
+    b.add_node(4, b"AAAA")
+    b.add_edge(1, False, 2, False)
+    b.add_edge(1, False, 3, False)
+    b.add_edge(2, False, 4, False)
+    b.add_edge(3, False, 4, False)
+    g = b.build()
+    path = va.a_star(g, (0, 1), (3 << 1, 2))
+    assert [h >> 1 for h in path] == [0, 2, 3]  # via the short branch
+    # unreachable: leftward positions never connect
+    assert va.a_star(g, (3 << 1, 0), (0, 0)) == []
+
+
+def test_mondriaan_sort_partitions():
+    from odgi_tpu.algorithms.mondriaan import mondriaan_sort
+
+    # two 10-node cliques joined by one edge: the bisection must not
+    # split a clique
+    from odgi_tpu.core.graph import GraphBuilder
+
+    b = GraphBuilder()
+    for i in range(1, 21):
+        b.add_node(i, b"A")
+    for base in (1, 11):
+        for i in range(base, base + 9):
+            for j in range(i + 1, base + 10):
+                b.add_edge(i, False, j, False)
+    b.add_edge(10, False, 11, False)
+    g = b.build()
+    order = mondriaan_sort(g, n_parts=2, weight_by_edge_depth=False)
+    assert sorted(order.tolist()) == list(range(20))
+    first_half = set(order[:10].tolist())
+    assert first_half in ({*range(10)}, {*range(10, 20)})
+
+
+def test_linear_index():
+    from odgi_tpu.core.index import LinearIndex
+
+    g = _chain_graph(n=4, seqlen=3)
+    li = LinearIndex.build(g)
+    assert li.graph_seq == b"AAA" * 4
+    assert li.position_of_handle(2 << 1) == 6
+    assert li.position_of_handle((2 << 1) | 1) == 6
