@@ -65,6 +65,39 @@ STRESS_BARS_2D = {"DRB1-3123": 1.4, "chr6.C4": 2.2, "LPA": 2.1}
 DIST_BARS_1D = {"DRB1-3123": 4.952, "chr6.C4": 4.7, "LPA": 3.1}
 
 
+def device_seconds(fn) -> float:
+    """Device-only execution time of fn()'s dispatches, via a
+    jax.profiler trace (the wall numbers include the axon relay's
+    ~25-30ms per-dispatch round trip; on a directly-attached chip wall
+    ~= device)."""
+    import collections
+    import glob
+    import gzip
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with jax.profiler.trace(d):
+            fn()
+        total = 0.0
+        for f in glob.glob(d + "/**/*.trace.json.gz", recursive=True):
+            with gzip.open(f) as fh:
+                tr = json.load(fh)
+            ev = tr.get("traceEvents", [])
+            pids = {
+                e["pid"]: e["args"].get("name", "")
+                for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+            }
+            for e in ev:
+                if (
+                    e.get("ph") == "X"
+                    and "TPU" in str(pids.get(e.get("pid"), ""))
+                    and str(e.get("name", "")).startswith("jit_")
+                ):
+                    total += e.get("dur", 0)
+    return total / 1e6
+
+
 def measure_rtt() -> float:
     x = jnp.ones(8)
     x.block_until_ready()
@@ -103,6 +136,13 @@ def bench_graph(name: str):
     out["slots_per_sec"] = round(slots / warm)
     out["valid_pairs_per_sec"] = round(valid / warm)
     out["valid_frac"] = round(valid / max(slots, 1), 4)
+    try:
+        dev = device_seconds(lambda: sgd.path_sgd_2d(g, coords0, cfg2))
+        if dev > 0:
+            out["device_s"] = round(dev, 4)
+            out["device_valid_pairs_per_sec"] = round(valid / dev)
+    except Exception:
+        pass
 
     c = np.asarray(c, np.float64).reshape(-1, 2)
     assert np.isfinite(c).all(), f"{name}: non-finite layout coords"
@@ -156,6 +196,10 @@ def main():
                 "stress": drb["stress"],
                 "wall_cold_s": drb["wall_cold_s"],
                 "wall_warm_s": drb["wall_warm_s"],
+                "device_s": drb.get("device_s"),
+                "device_pairs_per_sec": drb.get(
+                    "device_valid_pairs_per_sec"
+                ),
                 "sort_pairs_per_sec": drb["sort_valid_pairs_per_sec"],
                 "sort_dist": drb["sort_dist"],
                 "pallas": drb["pallas"],

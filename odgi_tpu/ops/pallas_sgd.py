@@ -84,7 +84,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .zipf import zeta_eta_table
 
 LANE = 128
-RC = int(os.environ.get("ODGI_TPU_PALLAS_RC", "8"))  # sublane rows per chunk
+RC = int(os.environ.get("ODGI_TPU_PALLAS_RC", "16"))  # sublane rows per chunk
+# (16 measured faster AND slightly better-converged than 8 on all three
+# reference graphs: larger chunks amortize per-chunk dispatch overhead)
 CHUNK = RC * LANE      # pairs per chunk (one shared jump distance)
 # Merge tile rows (TR*128 steps per consensus-merge tile).  Measured
 # perf-neutral between 32 and 64 on chr6 (the merge is bound by real
@@ -111,6 +113,15 @@ MAX_CGS = int(os.environ.get("ODGI_TPU_PALLAS_MAX_CGS", "4096"))
 # launch granularity).  >1 merges more often (less replica staleness,
 # more merge overhead).
 MERGES_PER_ITER = int(os.environ.get("ODGI_TPU_PALLAS_MPI", "1"))
+# Iterations per merge group in the RESIDENT kernels (consensus merges
+# dominate device time on the reference graphs; spanning K iterations
+# per merge cuts them K-fold).  Learning rates stay exact: eta is
+# resolved PER CHUNK from the prefetched per-iteration table.  The
+# effective K is clamped so a group's chunk scalars fit the SMEM
+# staging cap and divides iter_max; delta>0 runs force K=1 (per-
+# iteration early-stop checks).  Quality is gated by bench.py's
+# converged-stress bars.
+ITERS_PER_MERGE = int(os.environ.get("ODGI_TPU_PALLAS_IPM", "1"))
 # VMEM budget for the resident planes (static + drift + base), bytes.
 # v5e exposes ~128MB of VMEM (probed: 120MB scratch compiles and runs);
 # 110MB leaves room for the node arrays, merge-tile transients and the
@@ -128,6 +139,42 @@ def _pad_to(n: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 # Static device-side data
 # ---------------------------------------------------------------------------
+
+
+def _tile_windows(hi: np.ndarray, S: int, nl: int) -> tuple:
+    """Per-step-tile cyclic hi-window (base rows, width).
+
+    The consensus merge's per-tile work is O(steps x nl) VPU traffic
+    (measured dominant).  Steps in a tile touch a narrow band of node
+    lanes on sorted graphs, so each tile gets a cyclic window
+    [hb_t, hb_t + nl_w) mod nl covering all its hi values; nl_w is the
+    max over tiles (8-aligned).  Window bases are 8-aligned so the
+    windowed accumulator RMWs stay on sublane-friendly offsets."""
+    tsz = TR * LANE
+    n_tiles = max(1, -(-(-(-S // LANE)) // TR))
+    hb = np.zeros(n_tiles, np.int32)
+    width = np.zeros(n_tiles, np.int64)
+    for t in range(n_tiles):
+        h = np.unique(hi[t * tsz : min((t + 1) * tsz, S)])
+        if len(h) == 0:
+            width[t] = 1
+            continue
+        if len(h) == nl:
+            hb[t] = 0
+            width[t] = nl
+            continue
+        # largest circular gap between consecutive present values
+        gaps = np.diff(np.concatenate([h, h[:1] + nl])) - 1
+        k = int(np.argmax(gaps))
+        start = int(h[(k + 1) % len(h)])  # first value after the gap
+        base = (start // 8) * 8
+        width[t] = ((int(h[k]) - base) % nl) + 1
+        hb[t] = base
+    nl_w = min(nl, _pad_to(max(int(width.max()), 1), 8))
+    if nl_w >= nl:
+        hb[:] = 0
+        nl_w = nl
+    return hb, nl_w
 
 
 @partial(
@@ -248,6 +295,72 @@ def x_to_node_array(x: np.ndarray, nl: int) -> np.ndarray:
 
 def node_array_to_x(arr: np.ndarray, m: int) -> np.ndarray:
     return np.asarray(arr).T.reshape(-1)[:m]
+
+
+# Transposed node-plane layout (round-5 windowed merge): endpoint idx ->
+# (row idx >> 7, lane idx & 127) of an (NL, 128) plane.
+
+
+def x_to_node_array_t(x: np.ndarray, nl: int) -> np.ndarray:
+    m = x.shape[0]
+    buf = np.zeros(nl * 128, np.float32)
+    buf[:m] = x
+    return buf.reshape(nl, 128)
+
+
+def node_array_t_to_x(arr: np.ndarray, m: int) -> np.ndarray:
+    return np.asarray(arr).reshape(-1)[:m]
+
+
+def coords_to_node_planes_t(coords: np.ndarray, nl: int) -> np.ndarray:
+    """(2N, 2) f32 -> (2, NL, 128) [x plane, y plane]."""
+    c = np.asarray(coords, np.float32)
+    return np.stack(
+        [x_to_node_array_t(c[:, 0], nl), x_to_node_array_t(c[:, 1], nl)]
+    )
+
+
+def node_planes_t_to_coords(p2: np.ndarray, m: int) -> np.ndarray:
+    x = np.asarray(p2[0]).reshape(-1)[:m]
+    y = np.asarray(p2[1]).reshape(-1)[:m]
+    return np.stack([x, y], axis=1)
+
+
+def _recip_r_t(g, nl: int, one_d: bool) -> np.ndarray:
+    """(NL, 128) static per-endpoint 1/R plane in transposed layout."""
+    node = (g.step_handle >> 1).astype(np.int64)
+    r = np.bincount(node, minlength=g.num_nodes).astype(np.float64)
+    if one_d:
+        idx_count = g.num_nodes
+        rr = r
+    else:
+        idx_count = 2 * g.num_nodes
+        rr = np.repeat(r, 2)
+    buf = np.zeros(nl * 128, np.float32)
+    with np.errstate(divide="ignore"):
+        buf[:idx_count] = np.where(rr > 0, 1.0 / np.maximum(rr, 1), 0.0)
+    return buf.reshape(nl, 128)
+
+
+_WIN_CACHE: dict = {}
+
+
+def _win_cached(g, one_d: bool, nl: int):
+    """Cached (hb, nl_w) per-tile merge windows (see _tile_windows)."""
+    key = (id(g), one_d, TR, nl)
+    hit = _WIN_CACHE.get(key)
+    if hit is not None and hit[0] is g:
+        return hit[1]
+    node = (g.step_handle >> 1).astype(np.int64)
+    if one_d:
+        hi = node >> 7
+    else:
+        hi = (2 * node + (g.step_handle & 1).astype(np.int64)) >> 7
+    val = _tile_windows(hi, g.num_steps, nl)
+    _WIN_CACHE[key] = (g, val)
+    while len(_WIN_CACHE) > 8:
+        _WIN_CACHE.pop(next(iter(_WIN_CACHE)))
+    return val
 
 
 def _recip_r(g, nl: int, one_d: bool) -> np.ndarray:
@@ -449,7 +562,8 @@ def plan_run(g, cfg, one_d: bool = False) -> dict:
     Cached per (graph, config): the exact valid-pair count is ~0.5s of
     host numpy on DRB1 — 40x the device time of the whole optimization —
     so it must not run per dispatch."""
-    key = (id(g), cfg, one_d, RC, MAX_CGS, MERGES_PER_ITER)
+    key = (id(g), cfg, one_d, RC, MAX_CGS, MERGES_PER_ITER,
+           ITERS_PER_MERGE)
     hit = _PLAN_CACHE.get(key)
     if hit is not None and hit[0] is g:
         return hit[1]
@@ -475,14 +589,27 @@ def _plan_run_uncached(g, cfg, one_d: bool) -> dict:
     cpi = _pad_to(cpi, mpi)
     o_blk, d_arr, eta_arr = _host_chunk_scalars(cfg, data, cpi, 1, one_d)
     valid = _count_valid(g, data, o_blk, d_arr)
+    # resident-kernel grouping: K iterations per merge (K=1 when the
+    # iteration already splits into multiple groups, or delta>0)
+    k = 1
+    if mpi == 1 and ITERS_PER_MERGE > 1 and cfg.delta <= 0:
+        kmax = min(ITERS_PER_MERGE, max(1, MAX_CGS // cpi))
+        for cand in range(kmax, 0, -1):
+            if cfg.iter_max % cand == 0:
+                k = cand
+                break
     return dict(
         data=data,
         cpi=cpi,                      # chunks per iteration
-        cgs=cpi // mpi,               # chunks per merge group
-        groups=cfg.iter_max * mpi,    # total merge groups
+        cgs=cpi // mpi,               # chunks per merge group (K=1 view)
+        groups=cfg.iter_max * mpi,    # total merge groups (K=1 view)
+        kcgs=k * cpi if k > 1 else cpi // mpi,   # resident grouping
+        kgroups=cfg.iter_max * mpi // k if k > 1
+        else cfg.iter_max * mpi,
         o_blk=o_blk,
         d_arr=d_arr,
         eta_arr=eta_arr,
+        eta_table=_eta_schedule(cfg),
         total_slots=cfg.iter_max * cpi * CHUNK,
         total_valid=valid,
         valid_frac=valid / max(cfg.iter_max * cpi * CHUNK, 1),
@@ -718,6 +845,48 @@ def _dot2(e_lo_b, piece, dims):
 
 _DIMS_SCATTER = (((0,), (0,)), ((), ()))
 _DIMS_BCAST = (((1,), (0,)), ((), ()))
+# transposed-layout merge dims: scatter contracts the step dim of both
+# operands (value left) -> (cols, 128); bcast contracts the lane dim of
+# the one-hot with the lane dim of the staged update -> (steps, cols)
+_DIMS_SCATTER_T = (((0,), (0,)), ((), ()))
+_DIMS_BCAST_T = (((1,), (1,)), ((), ()))
+
+
+def _xor_lanes(a):
+    """Exact lane permutation a[..., l] <- a[..., l ^ 1].
+
+    The reverse endpoint of a step is always epf ^ 1 (same hi row,
+    lo lane xor 1), so its one-hot is the forward one-hot with the lane
+    swapped.  Instead of building a second (TR*LANE, 128) one-hot per
+    tile, contributions accumulate through the FORWARD one-hot and this
+    permutation is applied once per merge to the small (nl, 128)
+    accumulator — pure data movement, bit-exact."""
+    ax = a.ndim - 1
+    down = pltpu.roll(a, 1, axis=ax)
+    up = pltpu.roll(a, a.shape[ax] - 1, axis=ax)  # roll by -1 (mod lanes)
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, ax)
+    return jnp.where((lane & 1) == 0, up, down)
+
+
+def _dot2v(piece, e_lo_b, dims):
+    """_dot2 with the VALUE operand on the LEFT (hi/lo bf16 split of
+    `piece`; `e_lo_b` is the exact one-hot side)."""
+    ph = piece.astype(jnp.bfloat16)
+    if "dots1" in _ABLATE:
+        return jax.lax.dot_general(
+            ph, e_lo_b, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+    plo = (piece - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    a = jax.lax.dot_general(
+        ph, e_lo_b, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    b = jax.lax.dot_general(
+        plo, e_lo_b, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    return a + b
 
 
 def _twosum_update(out_ref, lo_ref, upd):
@@ -735,16 +904,30 @@ def _twosum_update(out_ref, lo_ref, upd):
 
 
 def _merge_tiles_2d(planes_ref, drift_ref, base_ref, out_ref, lo_ref,
-                    acc_ref, recip_ref, n_tiles: int, nl: int):
+                    acc_ref, recip_ref, hb_ref, n_tiles: int, nl: int,
+                    nl_w: int):
     """Consensus: out += sum_steps(drift) / R per endpoint, then broadcast
-    the update into base and reset drift to zero.  Factored one-hot
-    matmuls over the step table; endpoint idx -> (sublane idx & 127, lane
-    idx >> 7) of the (128, 2*NL) node array."""
-    iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
+    the update into base and reset drift to zero.
+
+    Layout (round-5): node arrays are TRANSPOSED — endpoint idx maps to
+    (row idx >> 7, lane idx & 127) of an (nl, 128) plane — and the merge
+    is WINDOWED: each step tile only touches its cyclic hi band
+    [hb[t], hb[t]+nl_w) (host-computed, _tile_windows), shrinking the
+    per-tile one-hot traffic from O(steps x nl) to O(steps x nl_w).
+    Both passes share ONE forward lane one-hot; reverse-endpoint
+    contributions ride extra dot columns and are folded with the exact
+    lane-xor permutation once per merge.
+
+    acc_ref: (4, nl + nl_w, LANE) scratch — channels [xf, yf, xr, yr],
+    rows [0, nl) plus a cyclic spill band folded after the scatter; it
+    is reused to stage the spill-extended update for the bcast pass.
+    out/lo/recip: (2, nl, LANE) / (nl, LANE) transposed node planes."""
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl_w), 2)
     iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
 
     def onehots(t):
         r = t * TR
+        hb = hb_ref[t]
         if "onehot0" in _ABLATE:  # timing ablation: loop-invariant build
             h = planes_ref[_HANDLE, 0:TR, :]
         else:
@@ -752,58 +935,70 @@ def _merge_tiles_2d(planes_ref, drift_ref, base_ref, out_ref, lo_ref,
         epf = 2 * jax.lax.shift_right_logical(h, 1) + (h & 1)
         hi = jax.lax.shift_right_logical(epf, 7)
         lof = epf & (LANE - 1)
-        e_hi = (hi[:, :, None] == iota_nl).astype(jnp.float32)
-        e_lo_f = (
-            (lof[:, :, None] == iota_128)
-            .astype(jnp.float32)
-            .reshape(TR * LANE, LANE)
-            .astype(jnp.bfloat16)
-        )
-        e_lo_r = (
-            ((lof ^ 1)[:, :, None] == iota_128)
-            .astype(jnp.float32)
-            .reshape(TR * LANE, LANE)
-            .astype(jnp.bfloat16)
-        )
-        return r, e_hi, e_lo_f, e_lo_r
+        hiw = hi - hb
+        hiw = jnp.where(hiw < 0, hiw + nl, hiw)
+        e_hi = (hiw[:, :, None] == iota_w).astype(jnp.float32)
+        # 3D one-hot: the dots contract BOTH step dims (tile row, lane),
+        # avoiding the (TR, LANE, C) -> (TR*LANE, C) relayout that
+        # dominated the merge (measured ~40% of device time)
+        e_lo_f = (lof[:, :, None] == iota_128).astype(
+            jnp.float32
+        ).astype(jnp.bfloat16)
+        return r, hb, e_hi, e_lo_f
 
     def scatter_body(t, _):
-        r, e_hi, e_lo_f, e_lo_r = onehots(t)
+        r, hb, e_hi, e_lo_f = onehots(t)
         ds = pl.ds(r, TR)
-
-        def piece(p):
-            # fold in f32 (Mosaic can't minor-dim-broadcast bf16); cast
-            # only after the leading-dim-collapse reshape
-            v = drift_ref[p, ds, :]
+        # channels [xf, yf, xr, yr] = drift planes (0, 2, 1, 3)
+        def piece(pp):
+            v = drift_ref[pp, ds, :]
             return e_hi * v[:, :, None]
 
-        pf = jnp.concatenate([piece(0), piece(2)], axis=2).reshape(
-            TR * LANE, 2 * nl
+        if "nopieces" in _ABLATE:  # timing ablation
+            pall = jnp.zeros((TR * LANE, 4 * nl_w), jnp.float32)
+        else:
+            pall = jnp.concatenate(
+                [piece(0), piece(2), piece(1), piece(3)], axis=2
+            ).reshape(TR * LANE, 4 * nl_w)
+        if "nodots" in _ABLATE:  # timing ablation
+            contrib = jnp.zeros((4, nl_w, LANE), jnp.float32)
+        else:
+            contrib = _dot2v(
+                pall, e_lo_f.reshape(TR * LANE, LANE), _DIMS_SCATTER_T
+            ).reshape(4, nl_w, LANE)
+        acc_ref[:, pl.ds(hb, nl_w), :] = (
+            acc_ref[:, pl.ds(hb, nl_w), :] + contrib
         )
-        pr_ = jnp.concatenate([piece(1), piece(3)], axis=2).reshape(
-            TR * LANE, 2 * nl
-        )
-        accf = _dot2(e_lo_f, pf, _DIMS_SCATTER)
-        accr = _dot2(e_lo_r, pr_, _DIMS_SCATTER)
-        acc_ref[:] = acc_ref[:] + accf + accr
         return 0
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    jax.lax.fori_loop(0, n_tiles, scatter_body, 0)
-    upd = acc_ref[:] * recip_ref[:]
+    if "noscatter" not in _ABLATE:
+        jax.lax.fori_loop(0, n_tiles, scatter_body, 0)
+    # fold the cyclic spill band, combine fwd + lane-xored rev channels
+    acc_ref[:, 0:nl_w, :] = (
+        acc_ref[:, 0:nl_w, :] + acc_ref[:, nl : nl + nl_w, :]
+    )
+    acc4 = acc_ref[:, 0:nl, :]
+    updx = (acc4[0] + _xor_lanes(acc4[2])) * recip_ref[:]
+    updy = (acc4[1] + _xor_lanes(acc4[3])) * recip_ref[:]
+    upd = jnp.stack([updx, updy])
     _twosum_update(out_ref, lo_ref, upd)
+    # stage the bcast read table into acc_ref: channels
+    # [updx, updy, xor(updx), updy-xor] with the cyclic spill appended,
+    # so per-tile windows are single sublane slices
+    upd4 = jnp.stack([updx, updy, _xor_lanes(updx), _xor_lanes(updy)])
+    acc_ref[:, 0:nl, :] = upd4
+    acc_ref[:, nl : nl + nl_w, :] = upd4[:, 0:nl_w, :]
 
     def bcast_body(t, _):
-        r, e_hi, e_lo_f, e_lo_r = onehots(t)
+        r, hb, e_hi, e_lo_f = onehots(t)
         ds = pl.ds(r, TR)
-        t1f = _dot2(e_lo_f, upd, _DIMS_BCAST)
-        t1r = _dot2(e_lo_r, upd, _DIMS_BCAST)
-        t1f = t1f.reshape(TR, LANE, 2 * nl)
-        t1r = t1r.reshape(TR, LANE, 2 * nl)
-        vxf = jnp.sum(t1f[:, :, :nl] * e_hi, axis=2)
-        vyf = jnp.sum(t1f[:, :, nl:] * e_hi, axis=2)
-        vxr = jnp.sum(t1r[:, :, :nl] * e_hi, axis=2)
-        vyr = jnp.sum(t1r[:, :, nl:] * e_hi, axis=2)
+        updw = acc_ref[:, pl.ds(hb, nl_w), :].reshape(4 * nl_w, LANE)
+        t1 = _dot2(e_lo_f, updw, (((2,), (1,)), ((), ())))
+        vxf = jnp.sum(t1[:, :, 0 * nl_w : 1 * nl_w] * e_hi, axis=2)
+        vyf = jnp.sum(t1[:, :, 1 * nl_w : 2 * nl_w] * e_hi, axis=2)
+        vxr = jnp.sum(t1[:, :, 2 * nl_w : 3 * nl_w] * e_hi, axis=2)
+        vyr = jnp.sum(t1[:, :, 3 * nl_w : 4 * nl_w] * e_hi, axis=2)
         # consensus collapse: base' = base + upd stays the broadcast of
         # the node coords by induction; drift restarts from zero
         for p, v in ((0, vxf), (1, vxr), (2, vyf), (3, vyr)):
@@ -811,47 +1006,62 @@ def _merge_tiles_2d(planes_ref, drift_ref, base_ref, out_ref, lo_ref,
             drift_ref[p, ds, :] = jnp.zeros((TR, LANE), jnp.float32)
         return 0
 
-    jax.lax.fori_loop(0, n_tiles, bcast_body, 0)
+    if "nobcast" not in _ABLATE:
+        jax.lax.fori_loop(0, n_tiles, bcast_body, 0)
 
 
 def _merge_tiles_1d(planes_ref, drift_ref, base_ref, out_ref, lo_ref,
-                    acc_ref, recip_ref, n_tiles: int, nl: int):
-    iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
+                    acc_ref, recip_ref, hb_ref, n_tiles: int, nl: int,
+                    nl_w: int):
+    """1D windowed merge (see _merge_tiles_2d): transposed (nl, 128)
+    node plane, acc_ref (1, nl + nl_w, LANE) with cyclic spill."""
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl_w), 2)
     iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
 
     def onehots(t):
         r = t * TR
+        hb = hb_ref[t]
         h = planes_ref[_P1_HANDLE, pl.ds(r, TR), :]
         nd = jax.lax.shift_right_logical(h, 1)
         hi = jax.lax.shift_right_logical(nd, 7)
         lo = nd & (LANE - 1)
-        e_hi = (hi[:, :, None] == iota_nl).astype(jnp.float32)
-        e_lo = (
-            (lo[:, :, None] == iota_128)
-            .astype(jnp.float32)
-            .reshape(TR * LANE, LANE)
-            .astype(jnp.bfloat16)
-        )
-        return r, e_hi, e_lo
+        hiw = hi - hb
+        hiw = jnp.where(hiw < 0, hiw + nl, hiw)
+        e_hi = (hiw[:, :, None] == iota_w).astype(jnp.float32)
+        e_lo = (lo[:, :, None] == iota_128).astype(
+            jnp.float32
+        ).astype(jnp.bfloat16)
+        return r, hb, e_hi, e_lo
 
     def scatter_body(t, _):
-        r, e_hi, e_lo = onehots(t)
+        r, hb, e_hi, e_lo = onehots(t)
         ds = pl.ds(r, TR)
         v = drift_ref[0, ds, :]
-        piece = (e_hi * v[:, :, None]).reshape(TR * LANE, nl)
-        acc_ref[:] = acc_ref[:] + _dot2(e_lo, piece, _DIMS_SCATTER)
+        piece = (e_hi * v[:, :, None]).reshape(TR * LANE, nl_w)
+        contrib = _dot2v(
+            piece, e_lo.reshape(TR * LANE, LANE), _DIMS_SCATTER_T
+        )
+        acc_ref[0, pl.ds(hb, nl_w), :] = (
+            acc_ref[0, pl.ds(hb, nl_w), :] + contrib
+        )
         return 0
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     jax.lax.fori_loop(0, n_tiles, scatter_body, 0)
-    upd = acc_ref[:] * recip_ref[:]
+    acc_ref[0, 0:nl_w, :] = (
+        acc_ref[0, 0:nl_w, :] + acc_ref[0, nl : nl + nl_w, :]
+    )
+    upd = acc_ref[0, 0:nl, :] * recip_ref[:]
     _twosum_update(out_ref, lo_ref, upd)
+    acc_ref[0, 0:nl, :] = upd
+    acc_ref[0, nl : nl + nl_w, :] = upd[0:nl_w, :]
 
     def bcast_body(t, _):
-        r, e_hi, e_lo = onehots(t)
+        r, hb, e_hi, e_lo = onehots(t)
         ds = pl.ds(r, TR)
-        t1 = _dot2(e_lo, upd, _DIMS_BCAST)
-        v = jnp.sum(t1.reshape(TR, LANE, nl) * e_hi, axis=2)
+        updw = acc_ref[0, pl.ds(hb, nl_w), :]
+        t1 = _dot2(e_lo, updw, (((2,), (1,)), ((), ())))
+        v = jnp.sum(t1 * e_hi, axis=2)
         base_ref[0, ds, :] = base_ref[0, ds, :] + v
         drift_ref[0, ds, :] = jnp.zeros((TR, LANE), jnp.float32)
         return 0
@@ -876,15 +1086,16 @@ def _stage_group_scalars(od_ref, od_smem, sem, gid):
     dma.wait()
 
 
-def _make_kernel_2d(cgs: int, n_tiles: int, nl: int, track: bool = False):
+def _make_kernel_2d(cgs: int, n_tiles: int, nl: int, nl_w: int,
+                    track: bool = False):
     """grid = (merge groups,); one grid step = cgs chunks + one consensus
     merge.  Scalar prefetch: meta [gchunk_base, seed], o/D/eta arrays.
     With `track`, the per-group max |delta| (the reference's Delta_max,
     path_sgd.cpp:183-190) is reduced into the dmax output."""
 
-    def kernel(meta_ref, eta_ref, od_ref, planes_ref, cp0_ref, xy_ref,
-               recip_ref, out_ref, dmax_ref, drift_sc, base_sc, acc_sc,
-               lo_sc, dm_sc, od_smem, sem):
+    def kernel(meta_ref, eta_ref, hb_ref, od_ref, planes_ref, cp0_ref,
+               xy_ref, recip_ref, out_ref, dmax_ref, drift_sc, base_sc,
+               acc_sc, lo_sc, dm_sc, od_smem, sem):
         gid = pl.program_id(0)
 
         @pl.when(gid == 0)
@@ -897,13 +1108,16 @@ def _make_kernel_2d(cgs: int, n_tiles: int, nl: int, track: bool = False):
         if track:
             dm_sc[:] = jnp.zeros_like(dm_sc)
         _stage_group_scalars(od_ref, od_smem, sem, gid)
-        eta_lr = eta_ref[gid]
 
         def body(c, _):
             gl = gid * cgs + c
+            # eta resolved per chunk from the per-iteration table
+            # (meta[2] = chunks per iteration), so merge groups may
+            # span iteration boundaries
+            it = (meta_ref[0] + gl) // meta_ref[2]
             _chunk_2d(
                 planes_ref, drift_sc, base_sc, od_smem[0, c],
-                od_smem[1, c], eta_lr, meta_ref[0] + gl,
+                od_smem[1, c], eta_ref[it], meta_ref[0] + gl,
                 dm_sc if track else None,
             )
             return 0
@@ -913,7 +1127,7 @@ def _make_kernel_2d(cgs: int, n_tiles: int, nl: int, track: bool = False):
         if "nomerge" not in _ABLATE:
             _merge_tiles_2d(
                 planes_ref, drift_sc, base_sc, out_ref, lo_sc, acc_sc,
-                recip_ref, n_tiles, nl,
+                recip_ref, hb_ref, n_tiles, nl, nl_w,
             )
         dmax_ref[gid] = jnp.max(dm_sc[:]) if track else 0.0
 
@@ -925,10 +1139,11 @@ def _make_kernel_2d(cgs: int, n_tiles: int, nl: int, track: bool = False):
     return kernel
 
 
-def _make_kernel_1d(cgs: int, n_tiles: int, nl: int, track: bool = False):
-    def kernel(meta_ref, eta_ref, od_ref, planes_ref, cp0_ref, x_ref,
-               recip_ref, out_ref, dmax_ref, drift_sc, base_sc, acc_sc,
-               lo_sc, dm_sc, od_smem, sem):
+def _make_kernel_1d(cgs: int, n_tiles: int, nl: int, nl_w: int,
+                    track: bool = False):
+    def kernel(meta_ref, eta_ref, hb_ref, od_ref, planes_ref, cp0_ref,
+               x_ref, recip_ref, out_ref, dmax_ref, drift_sc, base_sc,
+               acc_sc, lo_sc, dm_sc, od_smem, sem):
         gid = pl.program_id(0)
 
         @pl.when(gid == 0)
@@ -941,17 +1156,18 @@ def _make_kernel_1d(cgs: int, n_tiles: int, nl: int, track: bool = False):
         if track:
             dm_sc[:] = jnp.zeros_like(dm_sc)
         _stage_group_scalars(od_ref, od_smem, sem, gid)
-        eta_lr = eta_ref[gid]
 
         def body(c, _):
+            it = (meta_ref[0] + gid * cgs + c) // meta_ref[2]
             _chunk_1d(planes_ref, drift_sc, base_sc, od_smem[0, c],
-                      od_smem[1, c], eta_lr, dm_sc if track else None)
+                      od_smem[1, c], eta_ref[it],
+                      dm_sc if track else None)
             return 0
 
         jax.lax.fori_loop(0, cgs, body, 0)
         _merge_tiles_1d(
             planes_ref, drift_sc, base_sc, out_ref, lo_sc, acc_sc,
-            recip_ref, n_tiles, nl,
+            recip_ref, hb_ref, n_tiles, nl, nl_w,
         )
         dmax_ref[gid] = jnp.max(dm_sc[:]) if track else 0.0
 
@@ -964,22 +1180,26 @@ def _make_kernel_1d(cgs: int, n_tiles: int, nl: int, track: bool = False):
 
 @partial(
     jax.jit,
-    static_argnames=("groups", "cgs", "n_tiles", "nl", "one_d", "interpret",
-                     "track"),
+    static_argnames=("groups", "cgs", "n_tiles", "nl", "nl_w", "one_d",
+                     "interpret", "track"),
 )
-def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
-                 groups: int, cgs: int, n_tiles: int, nl: int,
+def _pallas_call(meta, eta_g, hb, od_all, planes, cp0, xy0, recip,
+                 groups: int, cgs: int, n_tiles: int, nl: int, nl_w: int,
                  one_d: bool, interpret: bool, track: bool = False):
     np_planes = planes.shape[0]
     pr = planes.shape[1]
     ncp = cp0.shape[0]
     cgs_pad = od_all.shape[2]
-    w = nl if one_d else 2 * nl
+    # node planes are transposed (nl rows, 128 lanes); 2D stacks x and y
+    nodeshape = (nl, LANE) if one_d else (2, nl, LANE)
+    nodeidx = (
+        (lambda i, *_: (0, 0)) if one_d else (lambda i, *_: (0, 0, 0))
+    )
     kernel = (_make_kernel_1d if one_d else _make_kernel_2d)(
-        cgs, n_tiles, nl, track
+        cgs, n_tiles, nl, nl_w, track
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # od (groups, 2, cgs), HBM
@@ -992,15 +1212,15 @@ def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                nodeshape, nodeidx, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                (nl, LANE), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (LANE, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                nodeshape, nodeidx, memory_space=pltpu.VMEM
             ),
             # per-group Delta_max (delta early-stop): whole (groups,)
             # array SMEM-resident across grid steps; each step writes
@@ -1010,8 +1230,12 @@ def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
         scratch_shapes=[
             pltpu.VMEM((ncp, pr, LANE), jnp.float32),
             pltpu.VMEM((ncp, pr, LANE), jnp.float32),
-            pltpu.VMEM((LANE, w), jnp.float32),
-            pltpu.VMEM((LANE, w), jnp.float32),
+            # windowed-merge accumulator with cyclic spill band:
+            # channels [xf, yf, xr, yr] (2D) / [x] (1D)
+            pltpu.VMEM(
+                (1 if one_d else 4, nl + nl_w, LANE), jnp.float32
+            ),
+            pltpu.VMEM(nodeshape, jnp.float32),
             pltpu.VMEM((1, RC, LANE), jnp.float32),
             pltpu.SMEM((2, cgs_pad), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -1021,14 +1245,14 @@ def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
     # chunk scalars
     vmem_need = (
         (np_planes + 3 * ncp) * pr * LANE * 4
-        + 8 * LANE * w * 4
+        + 10 * nl * LANE * 4
         + 2 * groups * cgs_pad * 4
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((LANE, w), jnp.float32),
+            jax.ShapeDtypeStruct(nodeshape, jnp.float32),
             jax.ShapeDtypeStruct((groups,), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -1037,14 +1261,18 @@ def _pallas_call(meta, eta_g, od_all, planes, cp0, xy0, recip,
             ),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(meta, eta_g, od_all, planes, cp0, xy0, recip)
+    )(meta, eta_g, hb, od_all, planes, cp0, xy0, recip)
 
 
-def _pack_od(p: dict) -> np.ndarray:
+def _pack_od(p: dict, resident: bool = True) -> np.ndarray:
     """(groups, 2, cgs_pad) i32 chunk-scalar array; the chunk dim is
     padded to a 128 multiple (DMA slice alignment), pad entries are
-    never read (the chunk loop bound is the unpadded cgs)."""
-    groups, cgs = p["groups"], p["cgs"]
+    never read (the chunk loop bound is the unpadded cgs).  The
+    resident kernels group K iterations per merge (kgroups/kcgs)."""
+    if resident:
+        groups, cgs = p["kgroups"], p["kcgs"]
+    else:
+        groups, cgs = p["groups"], p["cgs"]
     cgs_pad = _pad_to(cgs, LANE)
     od = np.zeros((groups, 2, cgs_pad), np.int32)
     od[:, 0, :cgs] = p["o_blk"].reshape(groups, cgs)
@@ -1098,28 +1326,30 @@ def path_sgd_2d_pallas(
 
     c0b = np.ascontiguousarray(np.asarray(coords0, np.float64))
     digest = hashlib.blake2b(c0b.tobytes(), digest_size=16).digest()
-    cgs = p["cgs"]
-    cp0, xy0, recip, od_all, eta_g = _dev_arrays(
+    cgs = p["kcgs"]
+    hb_np, nl_w = _win_cached(g, False, nl)
+    cp0, xy0, recip, od_all, eta_g, hb = _dev_arrays(
         g,
         (id(g), cfg, False, digest, RC),
         lambda: (
             jnp.asarray(_pad_planes(_step_coord_planes(g, coords0), pr)),
-            jnp.asarray(coords_to_node_array(c0b.astype(np.float32), nl)),
-            jnp.asarray(_recip_r(g, nl, one_d=False)),
+            jnp.asarray(coords_to_node_planes_t(c0b, nl)),
+            jnp.asarray(_recip_r_t(g, nl, one_d=False)),
             jnp.asarray(_pack_od(p)),
-            jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0]),
+            jnp.asarray(p["eta_table"]),
+            jnp.asarray(hb_np),
         ),
     )
     xy = xy0
     track = cfg.delta > 0
 
-    segs = _segments(p["groups"], cgs)
+    segs = _segments(p["kgroups"], cgs)
     if track:
         # delta early stop (reference: path_sgd.cpp:183-190) needs a
         # host check per ITERATION: dispatch per iteration (same grid
         # size every time -> one compiled kernel), stop when the
-        # iteration's Delta_max <= delta
-        mpi = p["groups"] // cfg.iter_max
+        # iteration's Delta_max <= delta (plan forces K=1 here)
+        mpi = p["kgroups"] // cfg.iter_max
         sub = max(1, -(-(mpi * cgs) // MAX_CHUNKS))
         gps = -(-mpi // sub)
         segs = [
@@ -1130,10 +1360,11 @@ def path_sgd_2d_pallas(
 
     dmaxes: list = []
     for g0, n_g in segs:
-        meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
+        meta = jnp.asarray([g0 * cgs, seed, p["cpi"]], jnp.int32)
         xy, dmax = _pallas_call(
             meta,
-            eta_g[g0 : g0 + n_g],
+            eta_g,
+            hb,
             od_all[g0 : g0 + n_g],
             data.planes,
             cp0,
@@ -1143,6 +1374,7 @@ def path_sgd_2d_pallas(
             cgs,
             n_tiles,
             nl,
+            nl_w,
             False,
             bool(interpret),
             track,
@@ -1154,14 +1386,14 @@ def path_sgd_2d_pallas(
                 dmaxes = []
                 if dm_it <= cfg.delta:
                     break
-        if g0 + n_g < p["groups"]:
+        if g0 + n_g < p["kgroups"]:
             # replicas collapse to consensus at every merge (= segment)
             # boundary, so rebuilding cp0 from the returned node coords is
             # exact continuation, not an approximation
-            host_xy = node_array_to_coords(np.asarray(xy), 2 * g.num_nodes, nl)
+            host_xy = node_planes_t_to_coords(np.asarray(xy), 2 * g.num_nodes)
             cp0 = jnp.asarray(_pad_planes(_step_coord_planes(g, host_xy), pr))
-    return node_array_to_coords(
-        np.asarray(xy), 2 * g.num_nodes, nl
+    return node_planes_t_to_coords(
+        np.asarray(xy), 2 * g.num_nodes
     ).astype(np.float64)
 
 
@@ -1194,24 +1426,26 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None,
     digest = hashlib.blake2b(
         np.ascontiguousarray(x0v).tobytes(), digest_size=16
     ).digest()
-    cgs = p["cgs"]
-    cp0, xn0, recip, od_all, eta_g = _dev_arrays(
+    cgs = p["kcgs"]
+    hb_np, nl_w = _win_cached(g, True, nl)
+    cp0, xn0, recip, od_all, eta_g, hb = _dev_arrays(
         g,
         (id(g), cfg, True, digest, RC),
         lambda: (
             jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr)),
-            jnp.asarray(x_to_node_array(x0v, nl)),
-            jnp.asarray(_recip_r(g, nl, one_d=True)),
+            jnp.asarray(x_to_node_array_t(x0v, nl)),
+            jnp.asarray(_recip_r_t(g, nl, one_d=True)),
             jnp.asarray(_pack_od(p)),
-            jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0]),
+            jnp.asarray(p["eta_table"]),
+            jnp.asarray(hb_np),
         ),
     )
     xn = xn0
     track = cfg.delta > 0
 
-    segs = _segments(p["groups"], cgs)
+    segs = _segments(p["kgroups"], cgs)
     if track:
-        mpi = p["groups"] // cfg.iter_max
+        mpi = p["kgroups"] // cfg.iter_max
         sub = max(1, -(-(mpi * cgs) // MAX_CHUNKS))
         gps = -(-mpi // sub)
         segs = [
@@ -1222,11 +1456,11 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None,
 
     dmaxes: list = []
     for g0, n_g in segs:
-        meta = jnp.asarray([g0 * cgs, seed], jnp.int32)
+        meta = jnp.asarray([g0 * cgs, seed, p["cpi"]], jnp.int32)
         xn, dmax = _pallas_call(
-            meta, eta_g[g0 : g0 + n_g], od_all[g0 : g0 + n_g],
+            meta, eta_g, hb, od_all[g0 : g0 + n_g],
             data.planes, cp0, xn, recip,
-            n_g, cgs, n_tiles, nl, True, bool(interpret), track,
+            n_g, cgs, n_tiles, nl, nl_w, True, bool(interpret), track,
         )
         if track:
             dmaxes.append(np.asarray(dmax))
@@ -1235,10 +1469,10 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None,
                 dmaxes = []
                 if dm_it <= cfg.delta:
                     break
-        if g0 + n_g < p["groups"]:
-            host_x = node_array_to_x(np.asarray(xn), g.num_nodes)
+        if g0 + n_g < p["kgroups"]:
+            host_x = node_array_t_to_x(np.asarray(xn), g.num_nodes)
             cp0 = jnp.asarray(_pad_planes(_step_x_plane(g, host_x)[None, :], pr))
-    return node_array_to_x(np.asarray(xn), g.num_nodes).astype(np.float64)
+    return node_array_t_to_x(np.asarray(xn), g.num_nodes).astype(np.float64)
 
 
 def _supported(g, cfg, one_d: bool) -> bool:

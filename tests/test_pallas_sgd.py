@@ -208,9 +208,9 @@ def test_pair_coins_balanced_and_deterministic():
 
 @pytest.fixture(scope="module")
 def synth_graph():
-    """3 paths x 600 steps over 120 nodes (S=1800 >= CHUNK) with mixed
-    orientations — big enough to exercise windows, small enough for the
-    interpreter."""
+    """3 paths x 1000 steps over 120 nodes (S=3000 >= CHUNK at the
+    RC=16 default) with mixed orientations — big enough to exercise
+    windows, small enough for the interpreter."""
     from odgi_tpu.core.graph import GraphBuilder
 
     rng = np.random.default_rng(7)
@@ -223,7 +223,7 @@ def synth_graph():
     for pi in range(3):
         p = b.add_path(f"p{pi}")
         n = 1
-        for _ in range(600):
+        for _ in range(1000):
             b.append_step(p, n, bool(rng.integers(0, 2)))
             n = int(np.clip(n + rng.integers(-2, 3), 1, N))
     return b.build()
