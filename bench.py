@@ -178,11 +178,31 @@ def bench_graph(name: str):
     return out
 
 
+def bench_untangle_lpa():
+    """All-vs-all untangle on LPA (round-4 verdict #9): wall seconds +
+    output digest (byte-level correctness vs the reference is pinned by
+    tests/test_golden_untangle.py on the golden fixture)."""
+    import hashlib
+    import io
+
+    from odgi_tpu.algorithms.untangle import untangle
+
+    g = odgi_tpu.parse_gfa(f"{TEST_DIR}/LPA.gfa")
+    paths = list(range(g.num_paths))
+    buf = io.StringIO()
+    t0 = time.time()
+    untangle(g, queries=paths, targets=paths, out=buf)
+    dt = time.time() - t0
+    sha = hashlib.sha256(buf.getvalue().encode()).hexdigest()[:16]
+    return round(dt, 3), sha
+
+
 def main():
     rtt = measure_rtt()
     graphs = {}
     for name in ("DRB1-3123", "chr6.C4", "LPA"):
         graphs[name] = bench_graph(name)
+    unt_s, unt_sha = bench_untangle_lpa()
 
     drb = graphs["DRB1-3123"]
     rate = drb["valid_pairs_per_sec"]
@@ -205,6 +225,8 @@ def main():
                 "pallas": drb["pallas"],
                 "backend": jax.default_backend(),
                 "rtt_s": round(rtt, 4),
+                "untangle_lpa_s": unt_s,
+                "untangle_lpa_sha": unt_sha,
                 "graphs": graphs,
             }
         )
