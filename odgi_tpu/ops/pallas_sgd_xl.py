@@ -623,11 +623,13 @@ def _spread_b1(v, c_sh, lane2):
 
 def _run_chunks_1d(cgs, gid, meta_ref, od_smem, eta_lr,
                    planes_hbm, drift_hbm, base_hbm,
-                   pw_sc, cw_sc, bw_sc, wb_sc, sem):
+                   pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
+                   sem):
     """The 1D streaming chunk phase (shared by the XL and big-N
-    kernels).  1D chunks are serialized (DMA per chunk, no
-    double-buffering): the sort workload is merge-dominated, and the
-    simpler schedule keeps the union-window write-back race-free."""
+    kernels).  Double-buffered like _run_chunks_2d: chunk c+1's window
+    reads prefetch during chunk c's compute unless the od sync flag
+    marks an overlap with c's write-back (then they are issued after
+    it), so results stay bit-identical to the serialized kernel."""
     del gid, meta_ref  # 1D update math consumes no coins
 
     def dma(src, dst, s):
@@ -648,7 +650,39 @@ def _run_chunks_1d(cgs, gid, meta_ref, od_smem, eta_lr,
     keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
 
+    def read_copies(c):
+        """6 uniform window reads of chunk c into slot c&1 (see
+        _run_chunks_2d for the prefetch/sync contract)."""
+        slot = c & 1
+        o_blk = od_smem[0, c]
+        D = od_smem[1, c]
+        r0 = o_blk + jax.lax.shift_right_logical(D, 7)
+        return [
+            pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(o_blk, _UW), :],
+                pw_sc.at[slot], sem.at[slot * 6 + 0]),
+            pltpu.make_async_copy(
+                drift_hbm.at[:, pl.ds(o_blk, _UW), :],
+                cw_sc.at[slot], sem.at[slot * 6 + 1]),
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(o_blk, _UW), :],
+                bw_sc.at[slot], sem.at[slot * 6 + 2]),
+            pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                pwb_sc.at[slot], sem.at[slot * 6 + 3]),
+            pltpu.make_async_copy(
+                drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                cwb_sc.at[slot], sem.at[slot * 6 + 4]),
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(r0, 2 * RC), :],
+                bwb_sc.at[slot], sem.at[slot * 6 + 5]),
+        ]
+
+    for cp in read_copies(0):
+        cp.start()
+
     def chunk(c, _):
+        slot = c & 1
         o_blk = od_smem[0, c]
         D = od_smem[1, c]
         r0 = o_blk + jax.lax.shift_right_logical(D, 7)
@@ -656,74 +690,66 @@ def _run_chunks_1d(cgs, gid, meta_ref, od_smem, eta_lr,
         keep = keep_tpl < (LANE - c_sh)
         near = D < (2 * CHUNK)
 
+        @pl.when(od_smem[2, c] != 0)
+        def _():
+            for cp in read_copies(c):
+                cp.start()
+
+        for cp in read_copies(c):
+            cp.wait()
+
+        nxt = jnp.minimum(c + 1, od_smem.shape[1] - 1)
+
+        @pl.when(jnp.logical_and(c + 1 < cgs, od_smem[2, nxt] == 0))
+        def _():
+            for cp in read_copies(c + 1):
+                cp.start()
+
+        # ---- near path: one union window of _UW rows at o_blk ----
         @pl.when(near)
         def _():
             db = r0 - o_blk
-            dma_group(
-                (planes_hbm.at[:, pl.ds(o_blk, _UW), :], pw_sc, 0),
-                (drift_hbm.at[:, pl.ds(o_blk, _UW), :], cw_sc, 1),
-                (base_hbm.at[:, pl.ds(o_blk, _UW), :], bw_sc, 2),
-            )
-            pa = pw_sc[_P1_POS, 0:RC, :]
-            patha = pw_sc[_P1_PATH, 0:RC, :]
-            pbw = _rot_b(pw_sc[:, pl.ds(db, 2 * RC), :], c_sh, keep)
-            xa = cw_sc[0, 0:RC, :] + bw_sc[0, 0:RC, :]
+            pa = pw_sc[slot, _P1_POS, 0:RC, :]
+            patha = pw_sc[slot, _P1_PATH, 0:RC, :]
+            pbw = _rot_b(pw_sc[slot, :, pl.ds(db, 2 * RC), :], c_sh, keep)
+            xa = cw_sc[slot, 0, 0:RC, :] + bw_sc[slot, 0, 0:RC, :]
             xbw = _rot_b(
-                cw_sc[:, pl.ds(db, 2 * RC), :]
-                + bw_sc[:, pl.ds(db, 2 * RC), :],
+                cw_sc[slot, :, pl.ds(db, 2 * RC), :]
+                + bw_sc[slot, :, pl.ds(db, 2 * RC), :],
                 c_sh, keep,
             )
             rr = _compute_pair_1d(
                 pa, patha, pbw[_P1_POS], pbw[_P1_PATH], xa, xbw[0],
                 eta_lr,
             )
-            wb_sc[:] = cw_sc[:]
+            wb_sc[:] = cw_sc[slot]
             wb_sc[0, 0:RC, :] = wb_sc[0, 0:RC, :] - rr
             sb = _spread_b1(rr[None], c_sh, lane2)
             wb_sc[:, pl.ds(db, 2 * RC), :] = (
                 wb_sc[:, pl.ds(db, 2 * RC), :] + sb
             )
-            dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 3)
+            dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 14)
 
+        # ---- far path: A from the union span, B from its own span --
         @pl.when(jnp.logical_not(near))
         def _():
-            dma_group(
-                (planes_hbm.at[:, pl.ds(o_blk, RC), :],
-                 pw_sc.at[:, 0:RC, :], 0),
-                (planes_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                 pw_sc.at[:, RC : RC + 2 * RC, :], 1),
-                (drift_hbm.at[:, pl.ds(o_blk, RC), :],
-                 cw_sc.at[:, 0:RC, :], 2),
-                (drift_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                 cw_sc.at[:, RC : RC + 2 * RC, :], 3),
-                (base_hbm.at[:, pl.ds(o_blk, RC), :],
-                 bw_sc.at[:, 0:RC, :], 4),
-                (base_hbm.at[:, pl.ds(r0, 2 * RC), :],
-                 bw_sc.at[:, RC : RC + 2 * RC, :], 5),
-            )
-            pa = pw_sc[_P1_POS, 0:RC, :]
-            patha = pw_sc[_P1_PATH, 0:RC, :]
-            pbw = _rot_b(pw_sc[:, RC : RC + 2 * RC, :], c_sh, keep)
-            xa = cw_sc[0, 0:RC, :] + bw_sc[0, 0:RC, :]
-            xbw = _rot_b(
-                cw_sc[:, RC : RC + 2 * RC, :]
-                + bw_sc[:, RC : RC + 2 * RC, :],
-                c_sh, keep,
-            )
+            pa = pw_sc[slot, _P1_POS, 0:RC, :]
+            patha = pw_sc[slot, _P1_PATH, 0:RC, :]
+            pbw = _rot_b(pwb_sc[slot], c_sh, keep)
+            xa = cw_sc[slot, 0, 0:RC, :] + bw_sc[slot, 0, 0:RC, :]
+            xbw = _rot_b(cwb_sc[slot] + bwb_sc[slot], c_sh, keep)
             rr = _compute_pair_1d(
                 pa, patha, pbw[_P1_POS], pbw[_P1_PATH], xa, xbw[0],
                 eta_lr,
             )
-            wb_sc[0, 0:RC, :] = cw_sc[0, 0:RC, :] - rr
+            wb_sc[0, 0:RC, :] = cw_sc[slot, 0, 0:RC, :] - rr
             sb = _spread_b1(rr[None], c_sh, lane2)
-            wb_sc[:, RC : RC + 2 * RC, :] = (
-                cw_sc[:, RC : RC + 2 * RC, :] + sb
-            )
+            wb_sc[:, RC : RC + 2 * RC, :] = cwb_sc[slot] + sb
             dma_group(
                 (wb_sc.at[:, 0:RC, :],
-                 drift_hbm.at[:, pl.ds(o_blk, RC), :], 0),
+                 drift_hbm.at[:, pl.ds(o_blk, RC), :], 14),
                 (wb_sc.at[:, RC : RC + 2 * RC, :],
-                 drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 1),
+                 drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 15),
             )
 
         return 0
@@ -735,7 +761,7 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
     def kernel(meta_ref, eta_ref, od_ref, planes_hbm, cp0_hbm, x_ref,
                recip_ref, drift_in, base_in, lo_in, out_ref, drift_hbm,
                base_hbm, lo_ref, acc_sc, od_smem,
-               pw_sc, cw_sc, bw_sc, wb_sc,
+               pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
                mh_sc, md_sc, mb_sc, sem):
         del drift_in, base_in
         gid = pl.program_id(0)
@@ -774,12 +800,13 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
 
             jax.lax.fori_loop(0, pr // TR, init_tile, 0)
 
-        _stage_group_scalars(od_ref, od_smem, sem.at[7], gid)
+        _stage_group_scalars(od_ref, od_smem, sem.at[12], gid)
         eta_lr = eta_ref[gid]
 
         _run_chunks_1d(cgs, gid, meta_ref, od_smem, eta_lr,
                        planes_hbm, drift_hbm, base_hbm,
-                       pw_sc, cw_sc, bw_sc, wb_sc, sem)
+                       pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc,
+                       wb_sc, sem)
 
         iota_nl = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, nl), 2)
         iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
@@ -871,14 +898,17 @@ def _pallas_call_xl_1d(meta, eta_g, od_all, planes, cp0, x0, recip,
         scratch_shapes=[
             pltpu.VMEM((LANE, nl), jnp.float32),
             pltpu.SMEM((4, od_all.shape[2]), jnp.int32),
-            pltpu.VMEM((3, _UW, LANE), jnp.int32),
-            pltpu.VMEM((1, _UW, LANE), jnp.float32),
-            pltpu.VMEM((1, _UW, LANE), jnp.float32),
-            pltpu.VMEM((1, _UW, LANE), jnp.float32),
+            pltpu.VMEM((2, 3, _UW, LANE), jnp.int32),    # planes A slots
+            pltpu.VMEM((2, 1, _UW, LANE), jnp.float32),  # drift A slots
+            pltpu.VMEM((2, 1, _UW, LANE), jnp.float32),  # base A slots
+            pltpu.VMEM((2, 3, 2 * RC, LANE), jnp.int32),    # planes B
+            pltpu.VMEM((2, 1, 2 * RC, LANE), jnp.float32),  # drift B
+            pltpu.VMEM((2, 1, 2 * RC, LANE), jnp.float32),  # base B
+            pltpu.VMEM((1, _UW, LANE), jnp.float32),     # write-back
             pltpu.VMEM((1, TR, LANE), jnp.int32),
             pltpu.VMEM((1, TR, LANE), jnp.float32),
             pltpu.VMEM((1, TR, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SemaphoreType.DMA((16,)),
         ],
     )
     return pl.pallas_call(

@@ -582,7 +582,7 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
                x_hbm, drift_hbm, base_hbm, lo_hbm, upd_hbm,
                acc_sc, out_sc, lo_sc, recip_sc, upd_sc,
                od_smem, sched_smem,
-               pw_sc, cw_sc, bw_sc, wb_sc,
+               pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
                mh_sc, md_sc, mb_sc, sem):
         del x_in, drift_in, base_in, lo_in
         gid = pl.program_id(0)
@@ -614,12 +614,13 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
 
             jax.lax.fori_loop(0, pr // TR, init_tile, 0)
 
-        _stage_group_scalars(od_ref, od_smem, sem.at[7], gid)
+        _stage_group_scalars(od_ref, od_smem, sem.at[12], gid)
         eta_lr = eta_ref[gid]
 
         _run_chunks_1d(cgs, gid, meta_ref, od_smem, eta_lr,
                        planes_hbm, drift_hbm, base_hbm,
-                       pw_sc, cw_sc, bw_sc, wb_sc, sem)
+                       pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc,
+                       wb_sc, sem)
 
         iota_bw = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, bw), 2)
         iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
@@ -748,9 +749,12 @@ def _pallas_call_xxl_1d(meta, eta_g, od_all, sched, planes, cp0,
             pltpu.VMEM((LANE, bw), jnp.float32),   # upd block
             pltpu.SMEM((4, od_all.shape[2]), jnp.int32),
             pltpu.SMEM((4, SCHED_BATCH), jnp.int32),
-            pltpu.VMEM((3, _UW, LANE), jnp.int32),
-            pltpu.VMEM((1, _UW, LANE), jnp.float32),
-            pltpu.VMEM((1, _UW, LANE), jnp.float32),
+            pltpu.VMEM((2, 3, _UW, LANE), jnp.int32),
+            pltpu.VMEM((2, 1, _UW, LANE), jnp.float32),
+            pltpu.VMEM((2, 1, _UW, LANE), jnp.float32),
+            pltpu.VMEM((2, 3, 2 * RC, LANE), jnp.int32),
+            pltpu.VMEM((2, 1, 2 * RC, LANE), jnp.float32),
+            pltpu.VMEM((2, 1, 2 * RC, LANE), jnp.float32),
             pltpu.VMEM((1, _UW, LANE), jnp.float32),
             pltpu.VMEM((1, TR, LANE), jnp.int32),
             pltpu.VMEM((1, TR, LANE), jnp.float32),
