@@ -84,9 +84,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .zipf import zeta_eta_table
 
 LANE = 128
-RC = int(os.environ.get("ODGI_TPU_PALLAS_RC", "16"))  # sublane rows per chunk
-# (16 measured faster AND slightly better-converged than 8 on all three
-# reference graphs: larger chunks amortize per-chunk dispatch overhead)
+RC = int(os.environ.get("ODGI_TPU_PALLAS_RC", "32"))  # sublane rows per chunk
+# (32 measured fastest with every quality gate green: DRB1 stress 1.2497 /
+# sort 3.31 at -14% wall vs RC=8's 1.2643/3.62; larger chunks amortize
+# per-chunk dispatch overhead, and the strata window is still 4096 of
+# ~35k+ steps on the smallest reference graph)
 CHUNK = RC * LANE      # pairs per chunk (one shared jump distance)
 # Merge tile rows (TR*128 steps per consensus-merge tile).  Measured
 # perf-neutral between 32 and 64 on chr6 (the merge is bound by real
@@ -233,7 +235,7 @@ class PallasSgdData:
         pos = g.step_pos.astype(np.int64)
         path_id = g.step_path.astype(np.int64)
 
-        pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, TR * LANE)
+        pad = _pad_to(S + CHUNK + space + 4 * RC * LANE, TR * LANE)
         np_planes = 3 if one_d else 4
         pl4 = np.zeros((np_planes, pad), np.int32)
         if one_d:
@@ -1491,7 +1493,7 @@ def _supported(g, cfg, one_d: bool) -> bool:
     if nl > 256:
         return False  # merge one-hot capacity cap (streaming path: TODO)
     space = int(cfg.space)
-    pad = _pad_to(S + CHUNK + space + 2 * RC * LANE, TR * LANE)
+    pad = _pad_to(S + CHUNK + space + 4 * RC * LANE, TR * LANE)
     np_planes = 3 if one_d else 4
     ncp = 1 if one_d else 4
     # resident: static planes + cp0 (inputs) + drift + base scratches —

@@ -575,8 +575,6 @@ def xl_supported(g, cfg) -> bool:
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
     if max_pos >= 2**30:
         return False
-    if int(cfg.space) < 1024:
-        return False  # plane padding must cover the union window span
     nl = _pad_to(max(-(-(2 * g.num_nodes + 2) // LANE), 1), 8)
     return nl <= 256
 
@@ -981,8 +979,6 @@ def xl_supported_1d(g, cfg) -> bool:
         return False
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
     if max_pos >= 2**30:
-        return False
-    if int(cfg.space) < 1024:
         return False
     nl = _pad_to(max(-(-(g.num_nodes + 1) // LANE), 1), 8)
     return nl <= 256

@@ -555,8 +555,8 @@ def path_sgd_2d_pallas_xxl(g, coords0: np.ndarray, cfg=None,
 
 
 def xxl_supported(g, cfg) -> bool:
-    """Block-merge streaming path: the only caps left are positions in
-    i32 and the union-window padding (space >= 1024)."""
+    """Block-merge streaming path: the only cap left is positions in
+    i32 (the plane padding covers the union window for any space)."""
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     if cfg.delta > 0:
@@ -564,9 +564,7 @@ def xxl_supported(g, cfg) -> bool:
     if g.num_steps < CHUNK:
         return False
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
-    if max_pos >= 2**30:
-        return False
-    return int(cfg.space) >= 1024
+    return max_pos < 2**30
 
 
 # ---------------------------------------------------------------------------
@@ -845,6 +843,4 @@ def xxl_supported_1d(g, cfg) -> bool:
     if g.num_steps < CHUNK:
         return False
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
-    if max_pos >= 2**30:
-        return False
-    return int(cfg.space) >= 1024
+    return max_pos < 2**30

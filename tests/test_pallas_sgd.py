@@ -208,8 +208,8 @@ def test_pair_coins_balanced_and_deterministic():
 
 @pytest.fixture(scope="module")
 def synth_graph():
-    """3 paths x 1000 steps over 120 nodes (S=3000 >= CHUNK at the
-    RC=16 default) with mixed orientations — big enough to exercise
+    """3 paths x 1600 steps over 120 nodes (S=4800 >= CHUNK at the
+    RC=32 default) with mixed orientations — big enough to exercise
     windows, small enough for the interpreter."""
     from odgi_tpu.core.graph import GraphBuilder
 
@@ -223,7 +223,7 @@ def synth_graph():
     for pi in range(3):
         p = b.add_path(f"p{pi}")
         n = 1
-        for _ in range(1000):
+        for _ in range(1600):
             b.append_step(p, n, bool(rng.integers(0, 2)))
             n = int(np.clip(n + rng.integers(-2, 3), 1, N))
     return b.build()

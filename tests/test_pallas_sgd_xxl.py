@@ -19,7 +19,7 @@ from odgi_tpu.algorithms.layout import init_layout
 
 @pytest.fixture(scope="module")
 def big_graph():
-    """2000 nodes, 3 paths x 1200 steps, jumps across the whole id
+    """2000 nodes, 3 paths x 1800 steps, jumps across the whole id
     range — with XXL_BS=1024 the 2D merge runs 4 blocks and most step
     tiles touch several blocks (a low-locality stress case)."""
     from odgi_tpu.core.graph import GraphBuilder
@@ -34,7 +34,7 @@ def big_graph():
     for pi in range(3):
         p = b.add_path(f"p{pi}")
         n = 1
-        for _ in range(1200):
+        for _ in range(1800):
             b.append_step(p, n, bool(rng.integers(0, 2)))
             n = int(np.clip(n + rng.integers(-40, 41), 1, N))
     return b.build()

@@ -236,7 +236,7 @@ def small_steps_graph():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import _tiny_graph_steps
 
-    return _tiny_graph_steps(2600)
+    return _tiny_graph_steps(5200)
 
 
 def test_sharded_pallas_kernel_multidevice(small_steps_graph):
