@@ -35,9 +35,13 @@ def _edge_weights(g: GraphTensors, by_depth: bool, by_delta: bool):
         v = np.maximum(sh[:-1], sh[1:])[same_path]
         key = u * g.num_nodes + v
         uniq, cnt = np.unique(key, return_counts=True)
-        depth = dict(zip(uniq.tolist(), cnt.tolist()))
         ek = np.minimum(a, b) * g.num_nodes + np.maximum(a, b)
-        w = w + np.array([depth.get(int(k), 0) for k in ek], np.float64)
+        idx = np.searchsorted(uniq, ek)
+        hit = (idx < len(uniq))
+        hit[hit] &= uniq[idx[hit]] == ek[hit]
+        add = np.zeros(len(ek), np.float64)
+        add[hit] = cnt[idx[hit]]
+        w = w + add
     if by_delta:
         ids = np.asarray(g.node_id, np.int64)
         w = w / (1.0 + np.abs(ids[a] - ids[b]))

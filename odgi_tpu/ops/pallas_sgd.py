@@ -138,6 +138,13 @@ def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def n_step_tiles(S: int) -> int:
+    """Number of TR-row merge tiles covering S steps — the single
+    source for the kernel grid/hb-array agreement (a kernel iterating
+    more tiles than len(hb) would read SMEM out of bounds)."""
+    return max(1, -(-(-(-S // LANE)) // TR))
+
+
 # ---------------------------------------------------------------------------
 # Static device-side data
 # ---------------------------------------------------------------------------
@@ -153,7 +160,7 @@ def _tile_windows(hi: np.ndarray, S: int, nl: int) -> tuple:
     max over tiles (8-aligned).  Window bases are 8-aligned so the
     windowed accumulator RMWs stay on sublane-friendly offsets."""
     tsz = TR * LANE
-    n_tiles = max(1, -(-(-(-S // LANE)) // TR))
+    n_tiles = n_step_tiles(S)
     hb = np.zeros(n_tiles, np.int32)
     width = np.zeros(n_tiles, np.int64)
     for t in range(n_tiles):
@@ -1266,15 +1273,12 @@ def _pallas_call(meta, eta_g, hb, od_all, planes, cp0, xy0, recip,
     )(meta, eta_g, hb, od_all, planes, cp0, xy0, recip)
 
 
-def _pack_od(p: dict, resident: bool = True) -> np.ndarray:
-    """(groups, 2, cgs_pad) i32 chunk-scalar array; the chunk dim is
+def _pack_od(p: dict) -> np.ndarray:
+    """(groups, 2, cgs_pad) i32 chunk-scalar array over the RESIDENT
+    grouping (kgroups/kcgs — K iterations per merge); the chunk dim is
     padded to a 128 multiple (DMA slice alignment), pad entries are
-    never read (the chunk loop bound is the unpadded cgs).  The
-    resident kernels group K iterations per merge (kgroups/kcgs)."""
-    if resident:
-        groups, cgs = p["kgroups"], p["kcgs"]
-    else:
-        groups, cgs = p["groups"], p["cgs"]
+    never read (the chunk loop bound is the unpadded cgs)."""
+    groups, cgs = p["kgroups"], p["kcgs"]
     cgs_pad = _pad_to(cgs, LANE)
     od = np.zeros((groups, 2, cgs_pad), np.int32)
     od[:, 0, :cgs] = p["o_blk"].reshape(groups, cgs)
@@ -1321,7 +1325,7 @@ def path_sgd_2d_pallas(
     data = p["data"]
     nl = data.ch
     pr = data.planes.shape[1]
-    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
+    n_tiles = n_step_tiles(data.num_steps)
     seed = int(cfg.seed) & 0x7FFFFFFF
 
     import hashlib
@@ -1415,7 +1419,7 @@ def path_sgd_1d_pallas(g, cfg=None, x0=None,
     data = p["data"]
     nl = data.ch
     pr = data.planes.shape[1]
-    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
+    n_tiles = n_step_tiles(data.num_steps)
     seed = int(cfg.seed) & 0x7FFFFFFF
 
     import hashlib
@@ -1483,7 +1487,11 @@ def _supported(g, cfg, one_d: bool) -> bool:
     # cfg.delta > 0 IS supported here: the driver dispatches per
     # iteration and early-stops on the kernel's Delta_max output
     S = g.num_steps
-    if S < CHUNK:
+    # correctness holds for any S (windows past the end mask out via
+    # the path compare and the plan compensates the chunk count); below
+    # ~1024 steps the XLA path is already sub-millisecond and the
+    # compile cost isn't worth it
+    if S < 1024:
         return False
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
     if max_pos >= 2**30:

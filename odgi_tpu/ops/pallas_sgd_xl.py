@@ -41,6 +41,7 @@ from .pallas_sgd import (
     LANE,
     RC,
     TR,
+    n_step_tiles,
     _POS,
     _POSEND,
     _HANDLE,
@@ -161,13 +162,11 @@ def _spread_b(v, c_sh, lane2):
     return jnp.where(lane2 >= c_sh, top, bot)
 
 
-def _run_chunks_2d(cgs, gid, meta_ref, od_smem, eta_lr,
-                   planes_hbm, drift_hbm, base_hbm,
-                   pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
-                   sem):
-    """The 2D streaming chunk phase (shared by the XL and big-N
-    kernels): double-buffered window DMAs + pair updates + drift
-    write-backs for one merge group of `cgs` chunks."""
+def _dma_helpers(sem):
+    """(dma, dma_group) bound to a DMA-semaphore array: dma is a
+    synchronous copy; dma_group overlaps independent transfers (start
+    all, then wait all).  ONE definition for every streaming kernel —
+    the semaphore/copy protocol must not diverge between copies."""
 
     def dma(src, dst, s):
         cp = pltpu.make_async_copy(src, dst, sem.at[s])
@@ -183,6 +182,19 @@ def _run_chunks_2d(cgs, gid, meta_ref, od_smem, eta_lr,
             o.start()
         for o in objs:
             o.wait()
+
+    return dma, dma_group
+
+
+def _run_chunks_2d(cgs, gid, meta_ref, od_smem, eta_lr,
+                   planes_hbm, drift_hbm, base_hbm,
+                   pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
+                   sem):
+    """The 2D streaming chunk phase (shared by the XL and big-N
+    kernels): double-buffered window DMAs + pair updates + drift
+    write-backs for one merge group of `cgs` chunks."""
+
+    dma, dma_group = _dma_helpers(sem)
 
     keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
@@ -318,21 +330,7 @@ def _make_kernel_xl(cgs: int, n_tiles: int, nl: int, pr: int):
         del drift_in, base_in
         gid = pl.program_id(0)
 
-        def dma(src, dst, s):
-            cp = pltpu.make_async_copy(src, dst, sem.at[s])
-            cp.start()
-            cp.wait()
-
-        def dma_group(*copies):
-            # overlap independent transfers: start all, then wait all
-            objs = [
-                pltpu.make_async_copy(src, dst, sem.at[s])
-                for src, dst, s in copies
-            ]
-            for o in objs:
-                o.start()
-            for o in objs:
-                o.wait()
+        dma, dma_group = _dma_helpers(sem)
 
         @pl.when(gid == 0)
         def _():
@@ -532,7 +530,7 @@ def path_sgd_2d_pallas_xl(g, coords0: np.ndarray, cfg=None,
     data = p["data"]
     nl = data.ch
     pr = data.planes.shape[1]
-    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
+    n_tiles = n_step_tiles(data.num_steps)
     seed = int(cfg.seed) & 0x7FFFFFFF
     cgs = p["cgs"]
 
@@ -570,7 +568,7 @@ def xl_supported(g, cfg) -> bool:
         return False
     if cfg.delta > 0:
         return False
-    if g.num_steps < CHUNK:
+    if g.num_steps < 1024:
         return False
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
     if max_pos >= 2**30:
@@ -630,20 +628,7 @@ def _run_chunks_1d(cgs, gid, meta_ref, od_smem, eta_lr,
     it), so results stay bit-identical to the serialized kernel."""
     del gid, meta_ref  # 1D update math consumes no coins
 
-    def dma(src, dst, s):
-        cp = pltpu.make_async_copy(src, dst, sem.at[s])
-        cp.start()
-        cp.wait()
-
-    def dma_group(*copies):
-        objs = [
-            pltpu.make_async_copy(src, dst, sem.at[s])
-            for src, dst, s in copies
-        ]
-        for o in objs:
-            o.start()
-        for o in objs:
-            o.wait()
+    dma, dma_group = _dma_helpers(sem)
 
     keep_tpl = jax.lax.broadcasted_iota(jnp.int32, (1, RC, LANE), 2)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * RC, LANE), 2)
@@ -764,21 +749,7 @@ def _make_kernel_xl_1d(cgs: int, n_tiles: int, nl: int, pr: int):
         del drift_in, base_in
         gid = pl.program_id(0)
 
-        def dma(src, dst, s):
-            cp = pltpu.make_async_copy(src, dst, sem.at[s])
-            cp.start()
-            cp.wait()
-
-        def dma_group(*copies):
-            # overlap independent transfers: start all, then wait all
-            objs = [
-                pltpu.make_async_copy(src, dst, sem.at[s])
-                for src, dst, s in copies
-            ]
-            for o in objs:
-                o.start()
-            for o in objs:
-                o.wait()
+        dma, dma_group = _dma_helpers(sem)
 
         @pl.when(gid == 0)
         def _():
@@ -941,7 +912,7 @@ def path_sgd_1d_pallas_xl(g, cfg=None, x0=None, interpret=None) -> np.ndarray:
     data = p["data"]
     nl = data.ch
     pr = data.planes.shape[1]
-    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
+    n_tiles = n_step_tiles(data.num_steps)
     seed = int(cfg.seed) & 0x7FFFFFFF
     cgs = p["cgs"]
 
@@ -975,7 +946,7 @@ def xl_supported_1d(g, cfg) -> bool:
         return False
     if cfg.delta > 0:
         return False
-    if g.num_steps < CHUNK:
+    if g.num_steps < 1024:
         return False
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
     if max_pos >= 2**30:

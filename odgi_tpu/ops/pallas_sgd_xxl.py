@@ -51,6 +51,7 @@ from .pallas_sgd import (
     LANE,
     RC,
     TR,
+    n_step_tiles,
     _HANDLE,
     _P1_HANDLE,
     _dot2,
@@ -68,6 +69,7 @@ from .pallas_sgd import (
     x_to_node_array,
 )
 from .pallas_sgd_xl import (
+    _dma_helpers,
     _pack_od_xl,
     _run_chunks_1d,
     _run_chunks_2d,
@@ -215,20 +217,7 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
         del xy_in, drift_in, base_in, lo_in
         gid = pl.program_id(0)
 
-        def dma(src, dst, s):
-            cp = pltpu.make_async_copy(src, dst, sem.at[s])
-            cp.start()
-            cp.wait()
-
-        def dma_group(*copies):
-            objs = [
-                pltpu.make_async_copy(src, dst, sem.at[s])
-                for src, dst, s in copies
-            ]
-            for o in objs:
-                o.start()
-            for o in objs:
-                o.wait()
+        dma, dma_group = _dma_helpers(sem)
 
         @pl.when(jnp.logical_and(gid == 0, meta_ref[0] == 0))
         def _():
@@ -520,7 +509,7 @@ def path_sgd_2d_pallas_xxl(g, coords0: np.ndarray, cfg=None,
     p = plan_run(g, cfg, one_d=False)
     data = p["data"]
     pr = data.planes.shape[1]
-    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
+    n_tiles = n_step_tiles(data.num_steps)
     seed = int(cfg.seed) & 0x7FFFFFFF
     cgs = p["cgs"]
     bs = XXL_BS
@@ -561,7 +550,7 @@ def xxl_supported(g, cfg) -> bool:
         return False
     if cfg.delta > 0:
         return False
-    if g.num_steps < CHUNK:
+    if g.num_steps < 1024:
         return False
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
     return max_pos < 2**30
@@ -585,20 +574,7 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
         del x_in, drift_in, base_in, lo_in
         gid = pl.program_id(0)
 
-        def dma(src, dst, s):
-            cp = pltpu.make_async_copy(src, dst, sem.at[s])
-            cp.start()
-            cp.wait()
-
-        def dma_group(*copies):
-            objs = [
-                pltpu.make_async_copy(src, dst, sem.at[s])
-                for src, dst, s in copies
-            ]
-            for o in objs:
-                o.start()
-            for o in objs:
-                o.wait()
+        dma, dma_group = _dma_helpers(sem)
 
         @pl.when(jnp.logical_and(gid == 0, meta_ref[0] == 0))
         def _():
@@ -801,7 +777,7 @@ def path_sgd_1d_pallas_xxl(g, cfg=None, x0=None, interpret=None) -> np.ndarray:
     p = plan_run(g, cfg, one_d=True)
     data = p["data"]
     pr = data.planes.shape[1]
-    n_tiles = -(-(-(-data.num_steps // LANE)) // TR)
+    n_tiles = n_step_tiles(data.num_steps)
     seed = int(cfg.seed) & 0x7FFFFFFF
     cgs = p["cgs"]
     bs = XXL_BS
@@ -840,7 +816,7 @@ def xxl_supported_1d(g, cfg) -> bool:
         return False
     if cfg.delta > 0:
         return False
-    if g.num_steps < CHUNK:
+    if g.num_steps < 1024:
         return False
     max_pos = int(g.step_pos.max(initial=0)) + int(g.node_len.max(initial=0))
     return max_pos < 2**30

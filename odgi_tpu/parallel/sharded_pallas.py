@@ -95,7 +95,7 @@ def path_sgd_2d_pallas_sharded(
     data = p["data"]
     nl = data.ch
     pr = data.planes.shape[1]
-    n_tiles = -(-(-(-data.num_steps // ps.LANE)) // ps.TR)
+    n_tiles = ps.n_step_tiles(data.num_steps)
     hb_np, nl_w = ps._win_cached(g, False, nl)
     seed = int(cfg.seed) & 0x7FFFFFFF
     # one iteration per dispatch: kgroups per iteration (plan guarantees
