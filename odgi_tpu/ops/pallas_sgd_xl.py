@@ -37,11 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_sgd import (
+    _ABLATE,
     CHUNK,
     LANE,
     RC,
     TR,
     n_step_tiles,
+    _dev_arrays,
     _POS,
     _POSEND,
     _HANDLE,
@@ -64,6 +66,45 @@ from .pallas_sgd import (
 
 # union window rows for near jumps: covers D < 2*CHUNK
 _UW = 4 * RC
+
+
+def _ep_indices(g, pr: int, one_d: bool):
+    """Padded step->endpoint gather indices for the on-device cp0
+    build (pad slots hit the zero-valued dummy endpoint/node)."""
+    S = g.num_steps
+    node = (g.step_handle >> 1).astype(np.int64)
+    if one_d:
+        nd = np.full(pr * LANE, g.num_nodes, np.int32)
+        nd[:S] = node
+        return nd
+    orient = (g.step_handle & 1).astype(np.int64)
+    epf = np.full(pr * LANE, 2 * g.num_nodes, np.int32)
+    epf[:S] = 2 * node + orient
+    return epf, epf ^ 1
+
+
+@partial(jax.jit, static_argnames=("pr", "idx_count"))
+def _cp0_device_2d(coords, epf, epr, pr: int, idx_count: int):
+    """(2N, 2) coords -> (4, pr, LANE) replica planes via on-device
+    gathers — replaces a host build + upload of the full step-sized
+    planes (hundreds of MB at chromosome scale) with a 2N-float upload.
+    Values match pallas_sgd._step_coord_planes + _pad_planes exactly
+    (pad slots gather the zero dummy endpoint)."""
+    c = coords.astype(jnp.float32)
+    zpad = jnp.zeros(idx_count - c.shape[0], jnp.float32)
+    xf = jnp.concatenate([c[:, 0], zpad])
+    yf = jnp.concatenate([c[:, 1], zpad])
+    return jnp.stack(
+        [xf[epf], xf[epr], yf[epf], yf[epr]]
+    ).reshape(4, pr, LANE)
+
+
+@partial(jax.jit, static_argnames=("pr", "idx_count"))
+def _cp0_device_1d(x, nd, pr: int, idx_count: int):
+    xv = x.astype(jnp.float32)
+    zpad = jnp.zeros(idx_count - xv.shape[0], jnp.float32)
+    xq = jnp.concatenate([xv, zpad])
+    return xq[nd].reshape(1, pr, LANE)
 
 
 def _pack_od_xl(p: dict) -> np.ndarray:
@@ -292,7 +333,8 @@ def _run_chunks_2d(cgs, gid, meta_ref, od_smem, eta_lr,
             wb_sc[:, pl.ds(db, 2 * RC), :] = (
                 wb_sc[:, pl.ds(db, 2 * RC), :] + sb
             )
-            dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 14)
+            if "nowb" not in _ABLATE:  # timing ablation (wrong results)
+                dma(wb_sc, drift_hbm.at[:, pl.ds(o_blk, _UW), :], 14)
 
         # ---- far path: A from the union span, B from its own span --
         @pl.when(jnp.logical_not(near))
@@ -307,12 +349,13 @@ def _run_chunks_2d(cgs, gid, meta_ref, od_smem, eta_lr,
             wb_sc[:, 0:RC, :] = cw_sc[slot, :, 0:RC, :] + va
             sb = _spread_b(vb, c_sh, lane2)
             wb_sc[:, RC : RC + 2 * RC, :] = cwb_sc[slot] + sb
-            dma_group(
-                (wb_sc.at[:, 0:RC, :],
-                 drift_hbm.at[:, pl.ds(o_blk, RC), :], 14),
-                (wb_sc.at[:, RC : RC + 2 * RC, :],
-                 drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 15),
-            )
+            if "nowb" not in _ABLATE:  # timing ablation (wrong results)
+                dma_group(
+                    (wb_sc.at[:, 0:RC, :],
+                     drift_hbm.at[:, pl.ds(o_blk, RC), :], 14),
+                    (wb_sc.at[:, RC : RC + 2 * RC, :],
+                     drift_hbm.at[:, pl.ds(r0, 2 * RC), :], 15),
+                )
 
         return 0
 
@@ -534,13 +577,27 @@ def path_sgd_2d_pallas_xl(g, coords0: np.ndarray, cfg=None,
     seed = int(cfg.seed) & 0x7FFFFFFF
     cgs = p["cgs"]
 
-    cp0 = jnp.asarray(_pad_planes(_step_coord_planes(g, coords0), pr))
+    recip, od_all, eta_g, epf_d, epr_d = _dev_arrays(
+        g,
+        (id(g), cfg, "xl2d", RC),
+        lambda: (
+            jnp.asarray(_recip_r(g, nl, one_d=False)),
+            jnp.asarray(_pack_od_xl(p)),
+            jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0]),
+            jnp.asarray(_ep_indices(g, pr, one_d=False)[0]),
+            jnp.asarray(_ep_indices(g, pr, one_d=False)[1]),
+        ),
+    )
+    # cp0 built ON DEVICE from the (2N, 2) coords (a host build +
+    # upload of the step-sized planes costs seconds at chromosome
+    # scale through the relay)
+    cp0 = _cp0_device_2d(
+        jnp.asarray(np.asarray(coords0, np.float32)), epf_d, epr_d,
+        pr, 2 * g.num_nodes + 2,
+    )
     xy = jnp.asarray(
         coords_to_node_array(np.asarray(coords0, np.float32), nl)
     )
-    recip = jnp.asarray(_recip_r(g, nl, one_d=False))
-    od_all = jnp.asarray(_pack_od_xl(p))
-    eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
     drift = jnp.zeros((4, pr, LANE), jnp.float32)
     base = cp0
     lo = jnp.zeros((LANE, 2 * nl), jnp.float32)
@@ -921,11 +978,18 @@ def path_sgd_1d_pallas_xl(g, cfg=None, x0=None, interpret=None) -> np.ndarray:
         if x0 is None
         else np.asarray(x0, np.float32)
     )
-    cp0 = jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr))
+    recip, od_all, eta_g, nd_d = _dev_arrays(
+        g,
+        (id(g), cfg, "xl1d", RC),
+        lambda: (
+            jnp.asarray(_recip_r(g, nl, one_d=True)),
+            jnp.asarray(_pack_od_xl(p)),
+            jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0]),
+            jnp.asarray(_ep_indices(g, pr, one_d=True)),
+        ),
+    )
+    cp0 = _cp0_device_1d(jnp.asarray(x0v), nd_d, pr, g.num_nodes + 1)
     xn = jnp.asarray(x_to_node_array(x0v, nl))
-    recip = jnp.asarray(_recip_r(g, nl, one_d=True))
-    od_all = jnp.asarray(_pack_od_xl(p))
-    eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
     drift = jnp.zeros((1, pr, LANE), jnp.float32)
     base = cp0
     lo = jnp.zeros((LANE, nl), jnp.float32)

@@ -47,7 +47,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_sgd import (
+    _ABLATE,
     CHUNK,
+    _dev_arrays,
     LANE,
     RC,
     TR,
@@ -69,7 +71,10 @@ from .pallas_sgd import (
     x_to_node_array,
 )
 from .pallas_sgd_xl import (
+    _cp0_device_1d,
+    _cp0_device_2d,
     _dma_helpers,
+    _ep_indices,
     _pack_od_xl,
     _run_chunks_1d,
     _run_chunks_2d,
@@ -185,11 +190,17 @@ def _build_schedule(g, bs: int, one_d: bool):
     last[:-1] = first[1:]
     last[-1] = 1
     kpad = _pad_to(max(K, 1), SCHED_BATCH)
-    sched = np.zeros((4, kpad), np.int32)
+    sched = np.zeros((8, kpad), np.int32)
     sched[0, :K] = t_arr
     sched[1, :K] = b_arr
     sched[2, :K] = first
     sched[3, :K] = last
+    # row 4: entry k+1's TILE reads may be prefetched before entry k's
+    # base write-back (different tiles); the broadcast pass consults it
+    safe = np.ones(K, np.int32)
+    if K > 1:
+        safe[:-1] = (t_arr[1:] != t_arr[:-1]).astype(np.int32)
+    sched[4, :K] = safe
     out = (sched, K, nb)
     _SCHED_CACHE[key] = (g, out)
     while len(_SCHED_CACHE) > 8:
@@ -211,7 +222,7 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
                acc_sc, out_sc, lo_sc, recip_sc, upd_sc,
                od_smem, sched_smem,
                pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
-               mh_sc, md_sc, mb_sc, sem):
+               th_sc, tv_sc, zb_sc, sem):
         # xy/drift/base/lo inputs are aliased to the like-named outputs
         # (state persists across grid steps AND dispatches)
         del xy_in, drift_in, base_in, lo_in
@@ -226,10 +237,10 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
             # on later segments)
             def init_tile(t, _):
                 r = t * TR
-                dma(cp0_hbm.at[:, pl.ds(r, TR), :], mb_sc, 0)
-                dma(mb_sc, base_hbm.at[:, pl.ds(r, TR), :], 1)
-                md_sc[:] = jnp.zeros_like(md_sc)
-                dma(md_sc, drift_hbm.at[:, pl.ds(r, TR), :], 2)
+                dma(cp0_hbm.at[:, pl.ds(r, TR), :], zb_sc, 0)
+                dma(zb_sc, base_hbm.at[:, pl.ds(r, TR), :], 1)
+                zb_sc[:] = jnp.zeros_like(zb_sc)
+                dma(zb_sc, drift_hbm.at[:, pl.ds(r, TR), :], 2)
                 return 0
 
             jax.lax.fori_loop(0, pr // TR, init_tile, 0)
@@ -243,14 +254,20 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
                        sem)
 
         # ---- consensus merge over (block, tile) schedule entries ----
+        # Tile DMAs are double-buffered: entry k+1's (handle, value)
+        # reads prefetch into the other slot during entry k's compute.
+        # The scatter pass never writes the arrays it reads, so it
+        # always prefetches; the broadcast pass writes base tiles, so
+        # the host-built schedule row 4 gates prefetch to
+        # different-tile successors (same-tile successors issue their
+        # reads after the write-back like the serialized kernel).
         iota_bw = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, bw), 2)
         iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
 
-        def onehots(b):
+        def onehots(b, h):
             """Block-LOCAL one-hots: endpoints outside block b get a
             local hi index outside [0, bw) and fall out of e_hi — no
             masking needed anywhere downstream."""
-            h = mh_sc[0]
             epf = 2 * jax.lax.shift_right_logical(h, 1) + (h & 1)
             loc = epf - b * bs
             hi = jax.lax.shift_right_logical(loc, 7)
@@ -272,19 +289,70 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
 
         n_batches = -(-K // SCHED_BATCH)
 
-        def sched_pass(entry_fn):
+        def sched_pass(entry_fn, value_hbm, gate_prefetch: bool):
+            def copies(j, slot):
+                r = sched_smem[0, j] * TR
+                return (
+                    pltpu.make_async_copy(
+                        planes_hbm.at[_HANDLE, pl.ds(r, TR), :],
+                        th_sc.at[slot], sem.at[slot * 2 + 0]),
+                    pltpu.make_async_copy(
+                        value_hbm.at[:, pl.ds(r, TR), :],
+                        tv_sc.at[slot], sem.at[slot * 2 + 1]),
+                )
+
             def batch(bi, _):
                 dma(sched_hbm.at[:, pl.ds(bi * SCHED_BATCH, SCHED_BATCH)],
                     sched_smem, 13)
+
+                # batch head issues entry 0's reads (always safe: the
+                # previous entry's write-back was waited inline)
+                @pl.when(bi * SCHED_BATCH < K)
+                def _():
+                    for cp in copies(0, 0):
+                        cp.start()
 
                 def ent(j, _):
                     k = bi * SCHED_BATCH + j
 
                     @pl.when(k < K)
                     def _():
+                        slot = j & 1
+                        if gate_prefetch:
+                            # a same-tile predecessor could not
+                            # prefetch this entry: issue the reads now,
+                            # after its write-back completed
+                            jp = jnp.maximum(j - 1, 0)
+                            was_pref = jnp.logical_or(
+                                j == 0, sched_smem[4, jp] != 0
+                            )
+
+                            @pl.when(jnp.logical_not(was_pref))
+                            def _():
+                                for cp in copies(j, slot):
+                                    cp.start()
+
+                        for cp in copies(j, slot):
+                            cp.wait()
+
+                        jn = jnp.minimum(j + 1, SCHED_BATCH - 1)
+                        nxt_ok = jnp.logical_and(
+                            j + 1 < SCHED_BATCH, k + 1 < K
+                        )
+                        if gate_prefetch:
+                            nxt_ok = jnp.logical_and(
+                                nxt_ok, sched_smem[4, j] != 0
+                            )
+
+                        @pl.when(nxt_ok)
+                        def _():
+                            for cp in copies(jn, (j + 1) & 1):
+                                cp.start()
+
                         entry_fn(
                             sched_smem[0, j], sched_smem[1, j],
                             sched_smem[2, j], sched_smem[3, j],
+                            slot,
                         )
                     return 0
 
@@ -296,21 +364,16 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
         # pass 1 (scatter): fold per-block drift sums; on each block's
         # last entry, TwoSum the update into the coord/compensation
         # blocks and stage it to the HBM update scratch for pass 2
-        def scatter_entry(t, b, first, last):
+        def scatter_entry(t, b, first, last, slot):
             @pl.when(first != 0)
             def _():
                 acc_sc[:] = jnp.zeros_like(acc_sc)
                 dma(recip_hbm.at[:, pl.ds(b * bw, bw)], recip_sc, 3)
 
-            r = t * TR
-            dma_group(
-                (planes_hbm.at[_HANDLE, pl.ds(r, TR), :], mh_sc.at[0], 0),
-                (drift_hbm.at[:, pl.ds(r, TR), :], md_sc, 1),
-            )
-            e_hi, e_lo_f, e_lo_r = onehots(b)
+            e_hi, e_lo_f, e_lo_r = onehots(b, th_sc[slot])
 
             def piece(p):
-                return e_hi * md_sc[p][:, :, None]
+                return e_hi * tv_sc[slot, p][:, :, None]
 
             pf = jnp.concatenate([piece(0), piece(2)], axis=2).reshape(
                 TR * LANE, 2 * bw
@@ -323,7 +386,6 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
                 + _dot2(e_lo_f, pf, _DIMS_SCATTER)
                 + _dot2(e_lo_r, pr_, _DIMS_SCATTER)
             )
-
             @pl.when(last != 0)
             def _():
                 dma_group(
@@ -354,11 +416,12 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
                      upd_hbm.at[1, :, pl.ds(b * bw, bw)], 9),
                 )
 
-        sched_pass(scatter_entry)
+        if "noscatter" not in _ABLATE:
+            sched_pass(scatter_entry, drift_hbm, gate_prefetch=False)
 
         # pass 2 (broadcast): apply each block's staged update to the
         # base planes of its scheduled tiles
-        def bcast_entry(t, b, first, last):
+        def bcast_entry(t, b, first, last, slot):
             @pl.when(first != 0)
             def _():
                 dma_group(
@@ -369,11 +432,7 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
                 )
 
             r = t * TR
-            dma_group(
-                (planes_hbm.at[_HANDLE, pl.ds(r, TR), :], mh_sc.at[0], 0),
-                (base_hbm.at[:, pl.ds(r, TR), :], mb_sc, 1),
-            )
-            e_hi, e_lo_f, e_lo_r = onehots(b)
+            e_hi, e_lo_f, e_lo_r = onehots(b, th_sc[slot])
             upd = upd_sc[:]
             t1f = _dot2(e_lo_f, upd, _DIMS_BCAST)
             t1r = _dot2(e_lo_r, upd, _DIMS_BCAST)
@@ -383,17 +442,18 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
             vyf = jnp.sum(t1f[:, :, bw:] * e_hi, axis=2)
             vxr = jnp.sum(t1r[:, :, :bw] * e_hi, axis=2)
             vyr = jnp.sum(t1r[:, :, bw:] * e_hi, axis=2)
-            mb_sc[:] = mb_sc[:] + jnp.stack([vxf, vxr, vyf, vyr])
-            dma(mb_sc, base_hbm.at[:, pl.ds(r, TR), :], 2)
+            tv_sc[slot] = tv_sc[slot] + jnp.stack([vxf, vxr, vyf, vyr])
+            dma(tv_sc.at[slot], base_hbm.at[:, pl.ds(r, TR), :], 14)
 
-        sched_pass(bcast_entry)
+        if "nobcast" not in _ABLATE:
+            sched_pass(bcast_entry, base_hbm, gate_prefetch=True)
 
         # pass 3: zero the drift planes (all tiles — every block's
         # contributions are now folded)
-        md_sc[:] = jnp.zeros_like(md_sc)
+        zb_sc[:] = jnp.zeros_like(zb_sc)
 
         def zero_tile(t, _):
-            dma(md_sc, drift_hbm.at[:, pl.ds(t * TR, TR), :], 10)
+            dma(zb_sc, drift_hbm.at[:, pl.ds(t * TR, TR), :], 10)
             return 0
 
         jax.lax.fori_loop(0, n_tiles, zero_tile, 0)
@@ -440,7 +500,7 @@ def _pallas_call_xxl(meta, eta_g, od_all, sched, planes, cp0,
             pltpu.VMEM((LANE, bw), jnp.float32),       # recip block
             pltpu.VMEM((LANE, 2 * bw), jnp.float32),   # upd block
             pltpu.SMEM((4, od_all.shape[2]), jnp.int32),
-            pltpu.SMEM((4, SCHED_BATCH), jnp.int32),
+            pltpu.SMEM((8, SCHED_BATCH), jnp.int32),
             pltpu.VMEM((2, 4, _UW, LANE), jnp.int32),
             pltpu.VMEM((2, 4, _UW, LANE), jnp.float32),
             pltpu.VMEM((2, 4, _UW, LANE), jnp.float32),
@@ -448,9 +508,9 @@ def _pallas_call_xxl(meta, eta_g, od_all, sched, planes, cp0,
             pltpu.VMEM((2, 4, 2 * RC, LANE), jnp.float32),
             pltpu.VMEM((2, 4, 2 * RC, LANE), jnp.float32),
             pltpu.VMEM((4, _UW, LANE), jnp.float32),
-            pltpu.VMEM((1, TR, LANE), jnp.int32),
-            pltpu.VMEM((4, TR, LANE), jnp.float32),
-            pltpu.VMEM((4, TR, LANE), jnp.float32),
+            pltpu.VMEM((2, TR, LANE), jnp.int32),      # tile handle slots
+            pltpu.VMEM((2, 4, TR, LANE), jnp.float32),  # tile value slots
+            pltpu.VMEM((4, TR, LANE), jnp.float32),     # init/zero buffer
             pltpu.SemaphoreType.DMA((16,)),
         ],
     )
@@ -516,12 +576,23 @@ def path_sgd_2d_pallas_xxl(g, coords0: np.ndarray, cfg=None,
     sched_np, K, nb = _build_schedule(g, bs, one_d=False)
     nl, bw, _ = _block_geometry(2 * g.num_nodes + 2, bs)
 
-    cp0 = jnp.asarray(_pad_planes(_step_coord_planes(g, coords0), pr))
+    recip, od_all, sched, eta_g, epf_d, epr_d = _dev_arrays(
+        g,
+        (id(g), cfg, "xxl2d", RC, bs),
+        lambda: (
+            jnp.asarray(_recip_ep(g, nl, one_d=False)),
+            jnp.asarray(_pack_od_xl(p)),
+            jnp.asarray(sched_np),
+            jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0]),
+            jnp.asarray(_ep_indices(g, pr, one_d=False)[0]),
+            jnp.asarray(_ep_indices(g, pr, one_d=False)[1]),
+        ),
+    )
+    cp0 = _cp0_device_2d(
+        jnp.asarray(np.asarray(coords0, np.float32)), epf_d, epr_d,
+        pr, 2 * g.num_nodes + 2,
+    )
     xy = jnp.asarray(_coords_to_planes(np.asarray(coords0), nl))
-    recip = jnp.asarray(_recip_ep(g, nl, one_d=False))
-    od_all = jnp.asarray(_pack_od_xl(p))
-    sched = jnp.asarray(sched_np)
-    eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
     drift = jnp.zeros((4, pr, LANE), jnp.float32)
     base = cp0
     lo = jnp.zeros((2, LANE, nl), jnp.float32)
@@ -570,7 +641,7 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
                acc_sc, out_sc, lo_sc, recip_sc, upd_sc,
                od_smem, sched_smem,
                pw_sc, cw_sc, bw_sc, pwb_sc, cwb_sc, bwb_sc, wb_sc,
-               mh_sc, md_sc, mb_sc, sem):
+               th_sc, tv_sc, zb_sc, sem):
         del x_in, drift_in, base_in, lo_in
         gid = pl.program_id(0)
 
@@ -580,10 +651,10 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
         def _():
             def init_tile(t, _):
                 r = t * TR
-                dma(cp0_hbm.at[:, pl.ds(r, TR), :], mb_sc, 0)
-                dma(mb_sc, base_hbm.at[:, pl.ds(r, TR), :], 1)
-                md_sc[:] = jnp.zeros_like(md_sc)
-                dma(md_sc, drift_hbm.at[:, pl.ds(r, TR), :], 2)
+                dma(cp0_hbm.at[:, pl.ds(r, TR), :], zb_sc, 0)
+                dma(zb_sc, base_hbm.at[:, pl.ds(r, TR), :], 1)
+                zb_sc[:] = jnp.zeros_like(zb_sc)
+                dma(zb_sc, drift_hbm.at[:, pl.ds(r, TR), :], 2)
                 return 0
 
             jax.lax.fori_loop(0, pr // TR, init_tile, 0)
@@ -599,8 +670,7 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
         iota_bw = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, bw), 2)
         iota_128 = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE, LANE), 2)
 
-        def onehots(b):
-            h = mh_sc[0]
+        def onehots(b, h):
             nd = jax.lax.shift_right_logical(h, 1)
             loc = nd - b * bs
             hi = jax.lax.shift_right_logical(loc, 7)
@@ -616,19 +686,66 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
 
         n_batches = -(-K // SCHED_BATCH)
 
-        def sched_pass(entry_fn):
+        def sched_pass(entry_fn, value_hbm, gate_prefetch: bool):
+            # double-buffered tile prefetch — see the 2D kernel
+            def copies(j, slot):
+                r = sched_smem[0, j] * TR
+                return (
+                    pltpu.make_async_copy(
+                        planes_hbm.at[_P1_HANDLE, pl.ds(r, TR), :],
+                        th_sc.at[slot], sem.at[slot * 2 + 0]),
+                    pltpu.make_async_copy(
+                        value_hbm.at[:, pl.ds(r, TR), :],
+                        tv_sc.at[slot], sem.at[slot * 2 + 1]),
+                )
+
             def batch(bi, _):
                 dma(sched_hbm.at[:, pl.ds(bi * SCHED_BATCH, SCHED_BATCH)],
                     sched_smem, 6)
+
+                @pl.when(bi * SCHED_BATCH < K)
+                def _():
+                    for cp in copies(0, 0):
+                        cp.start()
 
                 def ent(j, _):
                     k = bi * SCHED_BATCH + j
 
                     @pl.when(k < K)
                     def _():
+                        slot = j & 1
+                        if gate_prefetch:
+                            jp = jnp.maximum(j - 1, 0)
+                            was_pref = jnp.logical_or(
+                                j == 0, sched_smem[4, jp] != 0
+                            )
+
+                            @pl.when(jnp.logical_not(was_pref))
+                            def _():
+                                for cp in copies(j, slot):
+                                    cp.start()
+
+                        for cp in copies(j, slot):
+                            cp.wait()
+
+                        jn = jnp.minimum(j + 1, SCHED_BATCH - 1)
+                        nxt_ok = jnp.logical_and(
+                            j + 1 < SCHED_BATCH, k + 1 < K
+                        )
+                        if gate_prefetch:
+                            nxt_ok = jnp.logical_and(
+                                nxt_ok, sched_smem[4, j] != 0
+                            )
+
+                        @pl.when(nxt_ok)
+                        def _():
+                            for cp in copies(jn, (j + 1) & 1):
+                                cp.start()
+
                         entry_fn(
                             sched_smem[0, j], sched_smem[1, j],
                             sched_smem[2, j], sched_smem[3, j],
+                            slot,
                         )
                     return 0
 
@@ -637,20 +754,16 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
 
             jax.lax.fori_loop(0, n_batches, batch, 0)
 
-        def scatter_entry(t, b, first, last):
+        def scatter_entry(t, b, first, last, slot):
             @pl.when(first != 0)
             def _():
                 acc_sc[:] = jnp.zeros_like(acc_sc)
                 dma(recip_hbm.at[:, pl.ds(b * bw, bw)], recip_sc, 3)
 
-            r = t * TR
-            dma_group(
-                (planes_hbm.at[_P1_HANDLE, pl.ds(r, TR), :],
-                 mh_sc.at[0], 0),
-                (drift_hbm.at[:, pl.ds(r, TR), :], md_sc, 1),
+            e_hi, e_lo = onehots(b, th_sc[slot])
+            piece = (e_hi * tv_sc[slot, 0][:, :, None]).reshape(
+                TR * LANE, bw
             )
-            e_hi, e_lo = onehots(b)
-            piece = (e_hi * md_sc[0][:, :, None]).reshape(TR * LANE, bw)
             acc_sc[:] = acc_sc[:] + _dot2(e_lo, piece, _DIMS_SCATTER)
 
             @pl.when(last != 0)
@@ -667,31 +780,26 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
                     (upd_sc, upd_hbm.at[:, pl.ds(b * bw, bw)], 8),
                 )
 
-        sched_pass(scatter_entry)
+        sched_pass(scatter_entry, drift_hbm, gate_prefetch=False)
 
-        def bcast_entry(t, b, first, last):
+        def bcast_entry(t, b, first, last, slot):
             @pl.when(first != 0)
             def _():
                 dma(upd_hbm.at[:, pl.ds(b * bw, bw)], upd_sc, 8)
 
             r = t * TR
-            dma_group(
-                (planes_hbm.at[_P1_HANDLE, pl.ds(r, TR), :],
-                 mh_sc.at[0], 0),
-                (base_hbm.at[:, pl.ds(r, TR), :], mb_sc, 1),
-            )
-            e_hi, e_lo = onehots(b)
+            e_hi, e_lo = onehots(b, th_sc[slot])
             t1 = _dot2(e_lo, upd_sc[:], _DIMS_BCAST)
             v = jnp.sum(t1.reshape(TR, LANE, bw) * e_hi, axis=2)
-            mb_sc[:] = mb_sc[:] + v[None]
-            dma(mb_sc, base_hbm.at[:, pl.ds(r, TR), :], 2)
+            tv_sc[slot] = tv_sc[slot] + v[None]
+            dma(tv_sc.at[slot], base_hbm.at[:, pl.ds(r, TR), :], 14)
 
-        sched_pass(bcast_entry)
+        sched_pass(bcast_entry, base_hbm, gate_prefetch=True)
 
-        md_sc[:] = jnp.zeros_like(md_sc)
+        zb_sc[:] = jnp.zeros_like(zb_sc)
 
         def zero_tile(t, _):
-            dma(md_sc, drift_hbm.at[:, pl.ds(t * TR, TR), :], 10)
+            dma(zb_sc, drift_hbm.at[:, pl.ds(t * TR, TR), :], 10)
             return 0
 
         jax.lax.fori_loop(0, n_tiles, zero_tile, 0)
@@ -722,7 +830,7 @@ def _pallas_call_xxl_1d(meta, eta_g, od_all, sched, planes, cp0,
             pltpu.VMEM((LANE, bw), jnp.float32),   # recip block
             pltpu.VMEM((LANE, bw), jnp.float32),   # upd block
             pltpu.SMEM((4, od_all.shape[2]), jnp.int32),
-            pltpu.SMEM((4, SCHED_BATCH), jnp.int32),
+            pltpu.SMEM((8, SCHED_BATCH), jnp.int32),
             pltpu.VMEM((2, 3, _UW, LANE), jnp.int32),
             pltpu.VMEM((2, 1, _UW, LANE), jnp.float32),
             pltpu.VMEM((2, 1, _UW, LANE), jnp.float32),
@@ -730,9 +838,9 @@ def _pallas_call_xxl_1d(meta, eta_g, od_all, sched, planes, cp0,
             pltpu.VMEM((2, 1, 2 * RC, LANE), jnp.float32),
             pltpu.VMEM((2, 1, 2 * RC, LANE), jnp.float32),
             pltpu.VMEM((1, _UW, LANE), jnp.float32),
-            pltpu.VMEM((1, TR, LANE), jnp.int32),
-            pltpu.VMEM((1, TR, LANE), jnp.float32),
-            pltpu.VMEM((1, TR, LANE), jnp.float32),
+            pltpu.VMEM((2, TR, LANE), jnp.int32),       # tile handle slots
+            pltpu.VMEM((2, 1, TR, LANE), jnp.float32),  # tile value slots
+            pltpu.VMEM((1, TR, LANE), jnp.float32),     # init/zero buffer
             pltpu.SemaphoreType.DMA((16,)),
         ],
     )
@@ -784,12 +892,19 @@ def path_sgd_1d_pallas_xxl(g, cfg=None, x0=None, interpret=None) -> np.ndarray:
     sched_np, K, nb = _build_schedule(g, bs, one_d=True)
     nl, bw, _ = _block_geometry(g.num_nodes + 1, bs)
 
-    cp0 = jnp.asarray(_pad_planes(_step_x_plane(g, x0v)[None, :], pr))
+    recip, od_all, sched, eta_g, nd_d = _dev_arrays(
+        g,
+        (id(g), cfg, "xxl1d", RC, bs),
+        lambda: (
+            jnp.asarray(_recip_ep(g, nl, one_d=True)),
+            jnp.asarray(_pack_od_xl(p)),
+            jnp.asarray(sched_np),
+            jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0]),
+            jnp.asarray(_ep_indices(g, pr, one_d=True)),
+        ),
+    )
+    cp0 = _cp0_device_1d(jnp.asarray(x0v), nd_d, pr, g.num_nodes + 1)
     xn = jnp.asarray(x_to_node_array(x0v, nl))
-    recip = jnp.asarray(_recip_ep(g, nl, one_d=True))
-    od_all = jnp.asarray(_pack_od_xl(p))
-    sched = jnp.asarray(sched_np)
-    eta_g = jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0])
     drift = jnp.zeros((1, pr, LANE), jnp.float32)
     base = cp0
     lo = jnp.zeros((LANE, nl), jnp.float32)
