@@ -26,12 +26,19 @@ removes the per-pair one-hots entirely:
   step count — the mean over replica trajectories.  The merge rides the
   MXU as factored one-hot matmuls over the *step table* (amortized over
   the whole group's pairs, not per pair), then broadcasts the update back
-  into `cp` and `base`.  Both directions cost O(S * node_capacity) MACs
-  per merge — a few G-MACs on the reference graphs, microseconds on the
-  MXU.
+  into `cp` and `base`.  Round 5: node planes are transposed (nl, 128),
+  per-tile cyclic hi WINDOWS (host-computed) bound the one-hot width on
+  long-path graphs, both passes share one forward lane one-hot (reverse
+  endpoints fold via an exact lane-xor permutation of the small
+  accumulator), and eta resolves per chunk from the per-iteration table
+  so merge groups may span iterations (env ODGI_TPU_PALLAS_IPM;
+  measured to degrade DRB1 convergence past its gate at K>=2, so the
+  default stays one iteration per merge).
 
 Sampling is unchanged from round 3 (validated against the reference's
-semantics): each CHUNK of 1024 pairs shares ONE jump distance D drawn
+semantics): each CHUNK of RC*128 pairs (4096 at the default RC=32 —
+measured faster AND better-converged than smaller chunks on every
+reference graph) shares ONE jump distance D drawn
 from the quantized-zeta Zipf distribution (reference: path_sgd.cpp:
 124-138; closed-form inverse as in cuda_rnd_zipf, layout.cu:89-113) or
 uniform pre-cooling (path_sgd.cpp:274-279); the pairs are
