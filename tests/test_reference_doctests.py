@@ -56,3 +56,34 @@ def test_reference_odgi_ffi_doctest():
 def test_reference_odgi_performance_doctest():
     r = _run_doctest("odgi_performance.md")
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.skipif(
+    not (REF_TEST.parent / "scripts" / "test_binary.sh").exists(),
+    reason="reference checkout not present",
+)
+def test_reference_binary_harness():
+    """The reference's OWN CLI acceptance harness
+    (scripts/test_binary.sh -> position.sh + degree.sh + untangle.sh,
+    byte-diffed against test/binary/*) runs verbatim against the
+    odgi-compatible executable shim (tools/bin/odgi).  Paths are
+    relative with cwd at the reference root, matching how the golden
+    fixtures were recorded (they embed the input path)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    r = subprocess.run(
+        [
+            "bash", "scripts/test_binary.sh",
+            str(REPO / "tools" / "bin" / "odgi"), "test", "scripts",
+        ],
+        cwd=str(REF_TEST.parent),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "FAILED" not in r.stdout
