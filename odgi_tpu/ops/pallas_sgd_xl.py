@@ -561,7 +561,6 @@ def path_sgd_2d_pallas_xl(g, coords0: np.ndarray, cfg=None,
                           interpret=None) -> np.ndarray:
     """HBM-streaming 2D PG-SGD for graphs past the VMEM-resident cap."""
     from .sgd import derive_config_2d
-    from . import pallas_sgd as psr
 
     if cfg is None:
         cfg = derive_config_2d(g)
@@ -642,7 +641,6 @@ from .pallas_sgd import (  # noqa: E402
     _P1_HANDLE,
     _P1_PATH,
     _P1_POS,
-    _step_x_plane,
     x_to_node_array,
     node_array_to_x,
 )

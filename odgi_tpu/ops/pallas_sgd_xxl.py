@@ -48,7 +48,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_sgd import (
     _ABLATE,
-    CHUNK,
     _dev_arrays,
     LANE,
     RC,
@@ -59,12 +58,9 @@ from .pallas_sgd import (
     _dot2,
     _DIMS_SCATTER,
     _DIMS_BCAST,
-    _pad_planes,
     _pad_to,
     _segments,
     _stage_group_scalars,
-    _step_coord_planes,
-    _step_x_plane,
     _twosum_update,
     node_array_to_x,
     plan_run,
