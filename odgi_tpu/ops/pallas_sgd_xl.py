@@ -51,13 +51,11 @@ from .pallas_sgd import (
     _dot2,
     _DIMS_SCATTER,
     _DIMS_BCAST,
-    _pad_planes,
     _pad_to,
     _pair_coins,
     _recip_r,
     _segments,
     _stage_group_scalars,
-    _step_coord_planes,
     _twosum_update,
     coords_to_node_array,
     node_array_to_coords,
@@ -583,8 +581,7 @@ def path_sgd_2d_pallas_xl(g, coords0: np.ndarray, cfg=None,
             jnp.asarray(_recip_r(g, nl, one_d=False)),
             jnp.asarray(_pack_od_xl(p)),
             jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0]),
-            jnp.asarray(_ep_indices(g, pr, one_d=False)[0]),
-            jnp.asarray(_ep_indices(g, pr, one_d=False)[1]),
+            *map(jnp.asarray, _ep_indices(g, pr, one_d=False)),
         ),
     )
     # cp0 built ON DEVICE from the (2N, 2) coords (a host build +

@@ -364,7 +364,9 @@ def _make_kernel_xxl(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
             @pl.when(first != 0)
             def _():
                 acc_sc[:] = jnp.zeros_like(acc_sc)
-                dma(recip_hbm.at[:, pl.ds(b * bw, bw)], recip_sc, 3)
+                # sem 11 is free during the merge passes (the tile
+                # prefetch owns 0-3; the chunk phase drained 0-11)
+                dma(recip_hbm.at[:, pl.ds(b * bw, bw)], recip_sc, 11)
 
             e_hi, e_lo_f, e_lo_r = onehots(b, th_sc[slot])
 
@@ -580,8 +582,7 @@ def path_sgd_2d_pallas_xxl(g, coords0: np.ndarray, cfg=None,
             jnp.asarray(_pack_od_xl(p)),
             jnp.asarray(sched_np),
             jnp.asarray(p["eta_arr"].reshape(p["groups"], cgs)[:, 0]),
-            jnp.asarray(_ep_indices(g, pr, one_d=False)[0]),
-            jnp.asarray(_ep_indices(g, pr, one_d=False)[1]),
+            *map(jnp.asarray, _ep_indices(g, pr, one_d=False)),
         ),
     )
     cp0 = _cp0_device_2d(
@@ -754,7 +755,9 @@ def _make_kernel_xxl_1d(cgs: int, n_tiles: int, K: int, bw: int, pr: int):
             @pl.when(first != 0)
             def _():
                 acc_sc[:] = jnp.zeros_like(acc_sc)
-                dma(recip_hbm.at[:, pl.ds(b * bw, bw)], recip_sc, 3)
+                # sem 11 is free during the merge passes (the tile
+                # prefetch owns 0-3; the chunk phase drained 0-11)
+                dma(recip_hbm.at[:, pl.ds(b * bw, bw)], recip_sc, 11)
 
             e_hi, e_lo = onehots(b, th_sc[slot])
             piece = (e_hi * tv_sc[slot, 0][:, :, None]).reshape(

@@ -74,6 +74,7 @@ def test_reference_binary_harness():
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = str(REPO)
+    env["ODGI_TPU_PYTHON"] = sys.executable
     r = subprocess.run(
         [
             "bash", "scripts/test_binary.sh",
