@@ -281,7 +281,12 @@ def cmd_server(args):
             if self.path == "/stop":
                 reply("bye")
                 raise KeyboardInterrupt
-            parts = self.path.strip("/").rsplit("/", 1)
+            # cpp-httplib decodes percent-encoding before matching
+            # (reference: server_main.cpp:103-116); do the same so
+            # path names with '|' ':' etc. resolve from any client
+            from urllib.parse import unquote
+
+            parts = unquote(self.path).strip("/").rsplit("/", 1)
             pan_pos = 0
             if len(parts) == 2 and parts[1].isdigit():
                 name, pos1 = parts[0], int(parts[1])
