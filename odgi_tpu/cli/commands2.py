@@ -558,12 +558,25 @@ def cmd_squeeze(args):
 
 
 def cmd_flatten(args):
+    from contextlib import nullcontext
+    import io as _io
+
     from .main import load_any
     from ..algorithms.paths_cmd import flatten
 
+    if not args.fasta and not args.bed:
+        print(
+            "[odgi_tpu::flatten] error: please specify at least one "
+            "output (-f/--fasta and/or -b/--bed)",
+            file=sys.stderr,
+        )
+        return 1
     g = load_any(args.input)
-    with open(args.fasta, "w") as fa, open(args.bed, "w") as bed:
-        flatten(g, fa, bed, name=args.name)
+    name = args.name or args.input
+    fa_cm = open(args.fasta, "w") if args.fasta else nullcontext(_io.StringIO())
+    bed_cm = open(args.bed, "w") if args.bed else nullcontext(_io.StringIO())
+    with fa_cm as fa, bed_cm as bed:
+        flatten(g, fa, bed, name=name)
     return 0
 
 
@@ -1276,7 +1289,31 @@ def cmd_overlap(args):
     from ..core.graph import handle_rank
 
     g = load_any(args.input)
-    rows = read_bed(args.bed)
+    rows = []
+    if args.bed:
+        rows.extend(read_bed(args.bed))
+    if args.path:
+        p = path_index(g, args.path)
+        rows.append((args.path, 0, int(g.path_length[p])))
+    if args.paths:
+        with open(args.paths) as f:
+            for line in f:
+                nm = line.strip()
+                if nm:
+                    p = path_index(g, nm)
+                    rows.append((nm, 0, int(g.path_length[p])))
+    if not rows:
+        print(
+            "[odgi_tpu::overlap] error: please specify an input path "
+            "(-r/--path), a list of paths (with -R/--paths), or a list "
+            "of path ranges (-b/--bed-input).",
+            file=sys.stderr,
+        )
+        return 1
+    subset = None
+    if args.subset_paths:
+        with open(args.subset_paths) as f:
+            subset = {ln.strip() for ln in f if ln.strip()}
     print("#path\tstart\tend\tpath.touched")
     ranks_of_path = {}
     for name, s, e in rows:
@@ -1288,7 +1325,10 @@ def cmd_overlap(args):
             g.step_path[mask[handle_rank(g.step_handle)]]
         )
         for t in touched:
-            print(f"{name}\t{s}\t{e}\t{g.path_names[int(t)]}")
+            tn = g.path_names[int(t)]
+            if subset is not None and tn not in subset:
+                continue
+            print(f"{name}\t{s}\t{e}\t{tn}")
     return 0
 
 
@@ -1431,9 +1471,9 @@ def register(sub):
 
     p = sub.add_parser("flatten", help="linearize to FASTA + BED")
     p.add_argument("-i", "--input", required=True)
-    p.add_argument("-f", "--fasta", required=True)
-    p.add_argument("-b", "--bed", required=True)
-    p.add_argument("-n", "--name", default="flattened")
+    p.add_argument("-f", "--fasta")
+    p.add_argument("-b", "--bed")
+    p.add_argument("-n", "--name-seq", dest="name", default=None)
     p.set_defaults(fn=cmd_flatten)
 
     p = sub.add_parser("kmers", help="graph kmer enumeration")
@@ -1543,5 +1583,9 @@ def register(sub):
 
     p = sub.add_parser("overlap", help="paths overlapping BED ranges")
     p.add_argument("-i", "--input", required=True)
-    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("-b", "--bed-input", dest="bed")
+    p.add_argument("-r", "--path")
+    p.add_argument("-R", "--paths")
+    p.add_argument("-s", "--subset-paths")
+    p.add_argument("-t", "--threads", type=int, default=1)
     p.set_defaults(fn=cmd_overlap)

@@ -75,7 +75,33 @@ def cmd_view(args):
     from ..io.gfa import write_gfa
 
     g = load_any(args.input)
-    write_gfa(g, sys.stdout)
+    if args.to_gfa or args.node_annotation:
+        if args.node_annotation:
+            # reference annotation: per-S-line DP (step count) and RC
+            # (step count * node length) tags (src/odgi.cpp:1571-1583)
+            import numpy as np
+
+            from ..core.graph import handle_rank
+
+            sc = np.bincount(
+                handle_rank(g.step_handle), minlength=g.num_nodes
+            )
+            print("H\tVN:Z:1.0")
+            for r in range(g.num_nodes):
+                print(
+                    f"S\t{int(g.node_id[r])}\t{g.node_seq_str(r)}\t"
+                    f"DP:i:{int(sc[r])}\tRC:i:{int(sc[r]) * int(g.node_len[r])}"
+                )
+            import io as _io
+
+            buf = _io.StringIO()
+            write_gfa(g, buf)
+            for line in buf.getvalue().splitlines():
+                if not (line.startswith("S\t") or line.startswith("H\t")):
+                    print(line)
+        else:
+            write_gfa(g, sys.stdout)
+    # like the reference, `view` without an output flag prints nothing
     return 0
 
 
@@ -734,6 +760,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("view", help="write graph as GFA to stdout")
     p.add_argument("-i", "--input", required=True)
+    p.add_argument("-g", "--to-gfa", action="store_true")
+    p.add_argument("-a", "--node-annotation", action="store_true")
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("validate", help="check path/edge consistency")
