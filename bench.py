@@ -215,6 +215,18 @@ def main():
                 "value": rate,
                 "unit": "pairs/s",
                 "vs_baseline": round(rate / CPU_BASELINE_PAIRS_PER_SEC, 3),
+                # same ratio on profiler-measured device-only time (the
+                # wall number carries this environment's ~25-30ms relay
+                # sync per dispatch; a directly-attached chip would not)
+                "vs_baseline_device": (
+                    round(
+                        drb["device_valid_pairs_per_sec"]
+                        / CPU_BASELINE_PAIRS_PER_SEC,
+                        3,
+                    )
+                    if drb.get("device_valid_pairs_per_sec")
+                    else None
+                ),
                 "stress": drb["stress"],
                 "wall_cold_s": drb["wall_cold_s"],
                 "wall_warm_s": drb["wall_warm_s"],
