@@ -1201,11 +1201,65 @@ def cmd_position(args):
     return 0
 
 
+def _merge_subpath_gaps(g, mask, max_dist: int, max_iters: int):
+    """-d/--max-distance-subpaths: pull unselected nodes into the mask
+    when they sit in a gap of < max_dist bp between two selected runs
+    of the same path, repeated up to max_iters times (reference:
+    extract_main.cpp -d/-e)."""
+    import numpy as np
+
+    from ..core.graph import handle_rank
+
+    for _ in range(max(1, max_iters)):
+        changed = False
+        ranks = handle_rank(g.step_handle)
+        sel = mask[ranks]
+        for p in range(g.num_paths):
+            lo, hi = int(g.path_offset[p]), int(g.path_offset[p + 1])
+            ps = sel[lo:hi]
+            if not ps.any() or ps.all():
+                continue
+            idx = np.nonzero(ps)[0]
+            pos = g.step_pos[lo:hi]
+            lens = g.node_len[ranks[lo:hi]]
+            # gaps between consecutive selected steps
+            a, bnd = idx[:-1], idx[1:]
+            gap_bp = pos[bnd] - (pos[a] + lens[a])
+            for k in np.nonzero((bnd - a > 1) & (gap_bp < max_dist))[0]:
+                seg = ranks[lo + a[k] + 1 : lo + bnd[k]]
+                if not mask[seg].all():
+                    mask[seg] = True
+                    changed = True
+        if not changed:
+            break
+    return mask
+
+
+def _keep_full_path_names(sub):
+    """-K: single-fragment subpaths get their original name back
+    (multi-fragment paths keep ranged names to stay unique)."""
+    import dataclasses
+    import re
+    from collections import Counter
+
+    bases = []
+    for nm in sub.path_names:
+        m = re.fullmatch(r"(.*):(\d+)-(\d+)", nm)
+        bases.append(m.group(1) if m else nm)
+    counts = Counter(bases)
+    new = tuple(
+        b if counts[b] == 1 else nm
+        for nm, b in zip(sub.path_names, bases)
+    )
+    return dataclasses.replace(sub, path_names=new)
+
+
 def cmd_extract(args):
     """`odgi extract` driver (reference: src/subcommand/extract_main.cpp):
     node/range/BED/pangenomic-range selection, context expansion in steps
     (-c) or bases (-L), inverse selection (-I), full-range lacing (-E),
-    pathless-node dropping (-d) and id compaction (-O)."""
+    subpath-gap merging (-d/-e), per-range splitting (-s), path
+    restriction (-p), full-name retention (-K) and id compaction (-O)."""
     import numpy as np
 
     from .main import load_any, _out_graph
@@ -1218,6 +1272,47 @@ def cmd_extract(args):
     from ..core.graph import handle_rank
 
     g = load_any(args.input)
+    if args.paths_to_extract:
+        with open(args.paths_to_extract) as f:
+            wanted = [ln.strip() for ln in f if ln.strip()]
+        keep = [i for i, nm in enumerate(g.path_names) if nm in set(wanted)]
+        g = g.keep_paths(keep)
+
+    if args.split_subgraphs:
+        # one output per target range (reference -s)
+        ranges = []
+        if args.bed:
+            ranges.extend(read_bed(args.bed))
+        if args.path_range:
+            name, rng = args.path_range.rsplit(":", 1)
+            a, bnd = rng.split("-")
+            ranges.append((name, int(a), int(bnd)))
+        if not ranges:
+            print(
+                "[odgi::extract] error: -s/--split-subgraphs needs path "
+                "ranges (-r and/or -b)",
+                file=sys.stderr,
+            )
+            return 1
+        base = args.out[:-3] if args.out.endswith(".og") else args.out
+        for name, a, bnd in ranges:
+            m = np.zeros(g.num_nodes, dtype=bool)
+            p = path_index(g, name)
+            m[nodes_in_path_range(g, p, a, bnd)] = True
+            if args.max_distance_subpaths:
+                m = _merge_subpath_gaps(
+                    g, m, args.max_distance_subpaths,
+                    args.max_merging_iterations,
+                )
+            rk = np.nonzero(m)[0]
+            sub = extract_nodes(g, rk, args.context_steps, args.context_bases)
+            if args.keep_full_path_names:
+                sub = _keep_full_path_names(sub)
+            if args.optimize:
+                sub = sub.optimize()
+            _out_graph(sub, f"{base}.{name}:{a}-{bnd}.og")
+        return 0
+
     mask = np.zeros(g.num_nodes, dtype=bool)
     selected = False
     if args.node is not None:
@@ -1268,9 +1363,19 @@ def cmd_extract(args):
         return 1
     if args.full_range:
         ranks = np.arange(int(ranks.min()), int(ranks.max()) + 1)
+    if args.max_distance_subpaths:
+        mask2 = np.zeros(g.num_nodes, dtype=bool)
+        mask2[ranks] = True
+        mask2 = _merge_subpath_gaps(
+            g, mask2, args.max_distance_subpaths,
+            args.max_merging_iterations,
+        )
+        ranks = np.nonzero(mask2)[0]
     sub = extract_nodes(
         g, ranks, args.context_steps, args.context_bases
     )
+    if args.keep_full_path_names:
+        sub = _keep_full_path_names(sub)
     if args.drop_pathless:
         used = np.zeros(sub.num_nodes, dtype=bool)
         used[handle_rank(sub.step_handle)] = True
@@ -1569,13 +1674,20 @@ def register(sub):
     p.add_argument("-r", "--path-range", default=None)
     p.add_argument("-b", "--bed", default=None)
     p.add_argument("-n", "--node", type=int, default=None)
-    p.add_argument("--node-list", default=None)
+    p.add_argument("-l", "--node-list", default=None)
     p.add_argument("-q", "--pangenomic-range", default=None)
+    p.add_argument("-p", "--paths-to-extract", default=None)
     p.add_argument("-I", "--inverse", action="store_true")
     p.add_argument("-E", "--full-range", action="store_true")
     p.add_argument("-c", "--context-steps", type=int, default=0)
     p.add_argument("-L", "--context-bases", type=int, default=0)
-    p.add_argument("-d", "--drop-pathless", action="store_true")
+    # reference -d is the subpath-gap merge distance
+    # (extract_main.cpp); pathless-node dropping stays long-only
+    p.add_argument("-d", "--max-distance-subpaths", type=int, default=0)
+    p.add_argument("-e", "--max-merging-iterations", type=int, default=3)
+    p.add_argument("-s", "--split-subgraphs", action="store_true")
+    p.add_argument("-K", "--keep-full-path-names", action="store_true")
+    p.add_argument("--drop-pathless", action="store_true")
     p.add_argument("-O", "--optimize", action="store_true")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-P", "--progress", action="store_true")

@@ -144,7 +144,7 @@ def test_extract_pangenomic_range_and_drop_pathless(tmp_path):
     out = tmp_path / "sub.og"
     rc = cli_main(
         ["extract", "-i", "/root/reference/test/t.gfa", "-o", str(out),
-         "-q", "0-20", "-d", "-O"]
+         "-q", "0-20", "--drop-pathless", "-O"]
     )
     assert rc == 0
     sub = load_og(str(out))
@@ -155,3 +155,58 @@ def test_extract_pangenomic_range_and_drop_pathless(tmp_path):
     used = np.zeros(sub.num_nodes, bool)
     used[handle_rank(sub.step_handle)] = True
     assert used.all()  # -d removed pathless nodes
+
+
+def test_extract_subpath_gap_merging_and_split(tmp_path):
+    """Reference extract -d/--max-distance-subpaths pulls small gaps
+    between selected subpaths back in; -s writes one graph per range;
+    -K restores full path names for single-fragment subpaths
+    (extract_main.cpp)."""
+    import subprocess
+    import sys
+
+    from odgi_tpu import parse_gfa
+    from odgi_tpu.cli.main import main as cli_main
+
+    # path x covers nodes 1..10 linearly (t.gfa-like synthetic)
+    gfa = tmp_path / "g.gfa"
+    lines = ["H\tVN:Z:1.0"]
+    for i in range(1, 11):
+        lines.append(f"S\t{i}\tAAAA")
+    for i in range(1, 10):
+        lines.append(f"L\t{i}\t+\t{i+1}\t+\t0M")
+    lines.append("P\tx\t" + ",".join(f"{i}+" for i in range(1, 11)) + "\t*")
+    gfa.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "sub.og"
+    # select two windows [0,8) and [16,24) bp -> nodes 1-2 and 5-6;
+    # the 8bp gap (nodes 3-4) merges back with -d 9 but not with -d 4
+    bed = tmp_path / "r.bed"
+    bed.write_text("x\t0\t8\nx\t16\t24\n")
+    rc = cli_main(
+        ["extract", "-i", str(gfa), "-o", str(out), "-b", str(bed),
+         "-d", "9"]
+    )
+    assert rc == 0
+    from odgi_tpu.io.og_compat import load_og
+
+    sub = load_og(str(out))
+    assert sub.num_nodes == 6  # 1,2,3,4,5,6 (gap merged)
+    rc = cli_main(
+        ["extract", "-i", str(gfa), "-o", str(out), "-b", str(bed),
+         "-d", "4"]
+    )
+    assert rc == 0
+    sub = load_og(str(out))
+    assert sub.num_nodes == 4  # gap NOT merged
+
+    # -s: one file per range; -K restores the full path name
+    rc = cli_main(
+        ["extract", "-i", str(gfa), "-o", str(tmp_path / "split.og"),
+         "-b", str(bed), "-s", "-K"]
+    )
+    assert rc == 0
+    s1 = load_og(str(tmp_path / "split.x:0-8.og"))
+    s2 = load_og(str(tmp_path / "split.x:16-24.og"))
+    assert s1.num_nodes == 2 and s2.num_nodes == 2
+    assert s1.path_names == ("x",)  # -K restored the name
