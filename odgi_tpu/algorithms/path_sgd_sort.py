@@ -70,6 +70,9 @@ def sort_pipeline(
     sgd_overrides=None,
     target_paths: Optional[Sequence[int]] = None,
     snapshot_prefix: Optional[str] = None,
+    use_paths: Optional[Sequence[int]] = None,
+    bfs_chunk: int = 0,
+    dfs_chunk: int = 0,
 ) -> GraphTensors:
     """Apply a chain of sort passes (reference: sort_main.cpp:418-506).
 
@@ -114,6 +117,7 @@ def sort_pipeline(
                     overrides=sgd_overrides,
                     target_paths=target_paths,
                     snapshot_cb=snapshot_cb,
+                    use_paths=use_paths,
                 ),
                 compact_ids=True,
             )
@@ -141,13 +145,15 @@ def sort_pipeline(
             from .sorts_extra import breadth_first_topological_order
 
             g = g.apply_ordering(
-                breadth_first_topological_order(g), compact_ids=True
+                breadth_first_topological_order(g, bfs_chunk),
+                compact_ids=True
             )
         elif c == "z":
             from .sorts_extra import depth_first_topological_order
 
             g = g.apply_ordering(
-                depth_first_topological_order(g), compact_ids=True
+                depth_first_topological_order(g, dfs_chunk),
+                compact_ids=True
             )
         elif c == "w":
             from .sorts_extra import two_way_topological_order

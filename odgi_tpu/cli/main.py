@@ -442,6 +442,33 @@ def cmd_sort(args):
         v = getattr(args, flag, None)
         if v is not None:
             sgd_overrides[key] = v
+    if args.sgd_seed is not None:
+        # reference default seed string is hashed; accept ints directly
+        try:
+            sgd_overrides["seed"] = int(args.sgd_seed)
+        except ValueError:
+            import zlib
+
+            sgd_overrides["seed"] = zlib.crc32(args.sgd_seed.encode())
+    if args.sgd_mtu_nodes:
+        sgd_overrides["min_term_updates"] = int(
+            args.sgd_mtu_nodes * g.num_nodes
+        )
+    elif args.sgd_mtu_paths:
+        sgd_overrides["min_term_updates"] = int(
+            args.sgd_mtu_paths * g.num_steps
+        )
+    if args.sgd_zipf_max_dists and "space_quantization_step" not in sgd_overrides:
+        # reference: quantization derived from the max distribution
+        # count (sort_main.cpp:88; our derive_config_1d mirrors it with
+        # the default 100)
+        space = int(g.path_length.max()) if g.num_paths else 1
+        space_max = sgd_overrides.get("space_max", 100)
+        md = max(args.sgd_zipf_max_dists, space_max + 1)
+        if space > space_max:
+            sgd_overrides["space_quantization_step"] = max(
+                2, -(-(space - space_max) // (md - space_max))
+            )
     if args.pipeline:
         pipeline = args.pipeline
     elif args.two:
@@ -469,6 +496,22 @@ def cmd_sort(args):
         pipeline = ""
     else:
         pipeline = "s"
+    use_paths = None
+    if args.sgd_use_paths:
+        use_paths = []
+        with open(args.sgd_use_paths) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        use_paths.append(g.path_names.index(line))
+                    except ValueError:
+                        print(
+                            f"[odgi::sort] error: path {line} not found "
+                            "in graph",
+                            file=sys.stderr,
+                        )
+                        return 1
     target_paths = None
     if getattr(args, "sgd_target_paths", None):
         target_paths = []
@@ -498,7 +541,20 @@ def cmd_sort(args):
                 sgd_overrides=sgd_overrides or None,
                 target_paths=target_paths,
                 snapshot_prefix=getattr(args, "sgd_snapshot", None),
+                use_paths=use_paths,
+                bfs_chunk=int(getattr(args, "breadth_first_chunk", 0) or 0),
+                dfs_chunk=int(getattr(args, "depth_first_chunk", 0) or 0),
             )
+        if args.sgd_layout_out:
+            # -e: write the sorted 1D positions as a .lay (y = 0;
+            # reference sort_main.cpp:95 writes the 1D SGD layout)
+            from ..io.lay import save_lay
+
+            pos = g.node_offset.astype(np.float64)
+            coords = np.zeros((2 * g.num_nodes, 2), np.float64)
+            coords[0::2, 0] = pos
+            coords[1::2, 0] = pos + g.node_len
+            save_lay(coords, args.sgd_layout_out)
         if metrics is not None:
             metrics.record_summary(pipeline=pipeline, nodes=int(g.num_nodes),
                                    steps=int(g.num_steps))
@@ -756,6 +812,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", required=True)
     p.add_argument("-O", "--optimize", action="store_true")
     p.add_argument("-s", "--sort", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true")
     p.set_defaults(fn=cmd_build)
 
     p = sub.add_parser("view", help="write graph as GFA to stdout")
@@ -844,6 +903,31 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-u", "--path-sgd-snapshot", dest="sgd_snapshot", default=None)
     p.add_argument("-H", "--target-paths", dest="sgd_target_paths", default=None)
+    p.add_argument("-q", "--path-sgd-seed", dest="sgd_seed", default=None)
+    p.add_argument(
+        "-f", "--path-sgd-use-paths", dest="sgd_use_paths", default=None
+    )
+    p.add_argument(
+        "-G", "--path-sgd-min-term-updates-paths",
+        dest="sgd_mtu_paths", type=float, default=None,
+    )
+    p.add_argument(
+        "-U", "--path-sgd-min-term-updates-nodes",
+        dest="sgd_mtu_nodes", type=float, default=None,
+    )
+    p.add_argument(
+        "-y", "--path-sgd-zipf-max-num-distributions",
+        dest="sgd_zipf_max_dists", type=int, default=None,
+    )
+    p.add_argument(
+        "-e", "--path-sgd-layout", dest="sgd_layout_out", default=None
+    )
+    p.add_argument("-B", "--breadth-first-chunk", type=int, default=0)
+    p.add_argument("-Z", "--depth-first-chunk", type=int, default=0)
+    # not applicable to this design (accepted for drop-in parity):
+    # indexes are built in memory and no temp files are used
+    p.add_argument("-X", "--path-index", default=None)
+    p.add_argument("-C", "--temp-dir", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-P", "--progress", action="store_true")
     p.add_argument("--metrics", default=None, metavar="FILE",
