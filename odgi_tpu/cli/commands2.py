@@ -372,6 +372,12 @@ def cmd_viz(args):
     from ..algorithms.viz import render_viz
 
     g = load_any(args.input)
+    if args.image_height:
+        # reference semantics: -y sets the image height; divide the
+        # drawable band among the displayed paths (>= 1 px each)
+        n_paths = g.num_paths
+        band = max(args.image_height - 20, n_paths)
+        args.path_height = max(1, band // max(n_paths, 1))
     color_by = args.color_by
     if args.color_by_mean_inversion_rate:
         color_by = "inversion"
@@ -1489,8 +1495,13 @@ def register(sub):
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--out", required=True)
     p.add_argument("-x", "--width", type=int, default=1500)
-    p.add_argument("-a", "--path-height", "-y", dest="path_height",
+    p.add_argument("-a", "--path-height", dest="path_height",
                    type=int, default=10)
+    # reference -y is the TOTAL image height (viz_main.cpp:58); the
+    # per-path height is derived from it when given
+    p.add_argument("-y", "--height", dest="image_height", type=int,
+                   default=None)
+
     p.add_argument(
         "--color-by", default="path",
         choices=["path", "strand", "depth", "gray", "inversion",
@@ -1503,7 +1514,7 @@ def register(sub):
     p.add_argument("-c", "--path-colors-file", default=None)
     p.add_argument("-m", "--color-by-mean-depth", action="store_true")
     p.add_argument("-B", "--colorbrewer-palette", default=None)
-    p.add_argument("--no-grey-depth", action="store_true")
+    p.add_argument("-G", "--no-grey-depth", action="store_true")
     p.add_argument("-R", "--pack-paths", action="store_true")
     p.add_argument("-M", "--prefix-merges", default=None)
     p.add_argument("-I", "--ignore-prefix", default=None)
@@ -1515,7 +1526,7 @@ def register(sub):
     p.add_argument("-n", "--no-path-borders", action="store_true")
     p.add_argument("-b", "--black-path-borders", action="store_true")
     p.add_argument("-d", "--change-darkness", action="store_true")
-    p.add_argument("--highlight-node-ids", default=None)
+    p.add_argument("-J", "--highlight-node-ids", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_viz)
