@@ -78,16 +78,49 @@ def write_matrix(g: GraphTensors, out: TextIO, weight_by_paths: bool = False) ->
             )
 
 
+
+
+def _masked_len_view(g: GraphTensors, keep: np.ndarray) -> GraphTensors:
+    """A shallow variant of g whose node_len is zeroed outside `keep`,
+    so growth curves count only the kept nodes' bp."""
+    import dataclasses
+
+    nl = np.where(keep, g.node_len, 0)
+    return dataclasses.replace(g, node_len=nl.astype(g.node_len.dtype))
+
 def heaps_permutations(
     g: GraphTensors,
     n_permutations: int = 100,
     group_delim: Optional[str] = None,
     seed: int = 9399220,
+    path_groups: Optional[Sequence[str]] = None,
+    mask_ranks: Optional[np.ndarray] = None,
+    min_depth: int = 0,
 ) -> np.ndarray:
     """Pangenome growth curves (reference: heaps.cpp:7-60): for each random
     permutation of path groups, the cumulative bp of newly covered nodes as
-    each group is added.  Returns i64[n_permutations, n_groups]."""
-    if group_delim is None:
+    each group is added.  `path_groups` = explicit group label per path
+    (-p/-S/-H); `mask_ranks` restricts the counted nodes (-b BED
+    targets); `min_depth` counts only nodes with at least that path
+    depth (-d).  Returns i64[n_permutations, n_groups]."""
+    if min_depth or mask_ranks is not None:
+        keep = np.ones(g.num_nodes, dtype=bool)
+        if mask_ranks is not None:
+            keep[:] = False
+            keep[np.asarray(mask_ranks, np.int64)] = True
+        if min_depth:
+            depth = np.bincount(
+                handle_rank(g.step_handle), minlength=g.num_nodes
+            )
+            keep &= depth >= min_depth
+        g = _masked_len_view(g, keep)
+    if path_groups is not None:
+        names = list(path_groups)
+        uniq = sorted(set(names))
+        idx = {n: i for i, n in enumerate(uniq)}
+        group_of_path = np.array([idx[n] for n in names])
+        groups = list(range(len(uniq)))
+    elif group_delim is None:
         groups = list(range(g.num_paths))
         group_of_path = np.arange(g.num_paths)
     else:
@@ -120,18 +153,26 @@ def pav_table(
     ref_path: int,
     intervals: Sequence[Tuple[int, int]],
     group_delim: Optional[str] = None,
+    path_groups: Optional[Sequence[str]] = None,
 ) -> Tuple[List[str], np.ndarray]:
     """Presence/absence over BED intervals of a reference path
     (reference: pav_main.cpp): for each interval, for each path (or group),
     the fraction of the interval's node-bp that the path covers.
 
+    `path_groups` gives an explicit group label per path (reference
+    -p/-S/-H groupings); `group_delim` is the first-field shorthand.
     Returns (column names, f64[n_intervals, n_columns])."""
     lo, hi = int(g.path_offset[ref_path]), int(g.path_offset[ref_path + 1])
     ranks = handle_rank(g.step_handle[lo:hi])
     starts = g.step_pos[lo:hi]
     lens = g.node_len[ranks].astype(np.int64)
 
-    if group_delim is None:
+    if path_groups is not None:
+        names = list(path_groups)
+        cols = sorted(set(names))
+        idx = {n: i for i, n in enumerate(cols)}
+        col_of_path = np.array([idx[n] for n in names])
+    elif group_delim is None:
         cols = list(g.path_names)
         col_of_path = np.arange(g.num_paths)
     else:

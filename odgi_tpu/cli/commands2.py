@@ -652,12 +652,44 @@ def cmd_tension(args):
 
 
 def cmd_heaps(args):
+    """`odgi heaps` (reference: heaps_main.cpp): pangenome growth
+    curves with -p/-S/-H groupings, -b BED node targets and -d minimum
+    node depth."""
+    import numpy as np
+
     from .main import load_any
     from ..algorithms.analytics import heaps_permutations
 
     g = load_any(args.input)
+    path_groups = None
+    if args.path_groups:
+        mapping = {}
+        with open(args.path_groups) as f:
+            for line in f:
+                if line.strip():
+                    nm, _, grp = line.rstrip("\n").partition("\t")
+                    mapping[nm] = grp or nm
+        path_groups = [mapping.get(n, n) for n in g.path_names]
+    elif args.group_by_sample:
+        path_groups = [n.split("#")[0] for n in g.path_names]
+    elif args.group_by_haplotype:
+        path_groups = ["#".join(n.split("#")[:2]) for n in g.path_names]
+    mask_ranks = None
+    if args.bed_targets:
+        from ..algorithms.extract import nodes_in_path_range, read_bed
+        from ..algorithms.position import path_index
+
+        sel = []
+        for name, a, b in read_bed(args.bed_targets):
+            sel.append(nodes_in_path_range(g, path_index(g, name), a, b))
+        mask_ranks = np.unique(np.concatenate(sel)) if sel else np.zeros(0)
     curves = heaps_permutations(
-        g, n_permutations=args.permutations, group_delim=args.delim
+        g,
+        n_permutations=args.permutations,
+        group_delim=args.delim,
+        path_groups=path_groups,
+        mask_ranks=mask_ranks,
+        min_depth=args.min_node_depth,
     )
     print("#permutation\tnth.genome\tbase.pairs")
     for t in range(curves.shape[0]):
@@ -667,22 +699,74 @@ def cmd_heaps(args):
 
 
 def cmd_pav(args):
+    """`odgi pav` (reference: pav_main.cpp): long table by default
+    (chrom start end name group pav), matrix with -M; groups via
+    -p FILE / -S sample / -H haplotype (PanSN), binary values with
+    -B THRESHOLD."""
     from .main import load_any
     from ..algorithms.analytics import pav_table
-    from ..algorithms.extract import read_bed
     from ..algorithms.position import path_index
 
     g = load_any(args.input)
-    rows = read_bed(args.bed)
+    # 4-column BED (the name feeds the output's `name` column)
+    rows = []
+    with open(args.bed) as f:
+        for line in f:
+            if line.startswith(("#", "track", "browser")) or not line.strip():
+                continue
+            parts = line.rstrip("\n").split("\t")
+            rows.append(
+                (parts[0], int(parts[1]), int(parts[2]),
+                 parts[3] if len(parts) > 3 else ".")
+            )
+    path_groups = None
+    if args.path_groups:
+        mapping = {}
+        with open(args.path_groups) as f:
+            for line in f:
+                if line.strip():
+                    nm, _, grp = line.rstrip("\n").partition("\t")
+                    mapping[nm] = grp or nm
+        path_groups = [mapping.get(n, n) for n in g.path_names]
+    elif args.group_by_sample:
+        path_groups = [n.split("#")[0] for n in g.path_names]
+    elif args.group_by_haplotype:
+        path_groups = ["#".join(n.split("#")[:2]) for n in g.path_names]
+    thresh = args.binary_values
+    if thresh and not (0 < thresh <= 1):
+        print(
+            "[odgi::pav] error: the PAV ratio threshold must be greater "
+            "than 0 and lower than 1.",
+            file=sys.stderr,
+        )
+        return 1
+
+    def fmt(v):
+        if thresh:
+            return str(int(v >= thresh))
+        return f"{v:.6g}"
+
     first = True
-    for name, s, e in rows:
+    for name, s, e, rname in rows:
         p = path_index(g, name)
-        cols, tab = pav_table(g, p, [(s, e)], group_delim=args.delim)
-        if first:
-            print("#chrom\tstart\tend\t" + "\t".join(cols))
-            first = False
-        vals = "\t".join(f"{v:.6g}" for v in tab[0])
-        print(f"{name}\t{s}\t{e}\t{vals}")
+        cols, tab = pav_table(
+            g, p, [(s, e)], group_delim=args.delim,
+            path_groups=path_groups,
+        )
+        if args.matrix_output:
+            if first:
+                print("chrom\tstart\tend\tname\t" + "\t".join(cols))
+                first = False
+            print(
+                f"{name}\t{s}\t{e}\t{rname}\t"
+                + "\t".join(fmt(v) for v in tab[0])
+            )
+        else:
+            if first:
+                print("chrom\tstart\tend\tname\tgroup\tpav")
+                first = False
+            for c, v in zip(cols, tab[0]):
+                print(f"{name}\t{s}\t{e}\t{rname}\t{c}\t{fmt(v)}")
     return 0
 
 
@@ -1617,15 +1701,29 @@ def register(sub):
     p.set_defaults(fn=cmd_tension)
 
     p = sub.add_parser("heaps", help="pangenome growth curves")
-    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-i", "--input", "--idx", dest="input", required=True)
     p.add_argument("-n", "--permutations", type=int, default=100)
     p.add_argument("-D", "--delim", default=None)
+    p.add_argument("-p", "--path-groups", default=None)
+    p.add_argument("-S", "--group-by-sample", action="store_true")
+    p.add_argument("-H", "--group-by-haplotype", action="store_true")
+    p.add_argument("-b", "--bed-targets", default=None)
+    p.add_argument("-d", "--min-node-depth", type=int, default=0)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_heaps)
 
     p = sub.add_parser("pav", help="presence/absence over BED")
-    p.add_argument("-i", "--input", required=True)
-    p.add_argument("-b", "--bed", required=True)
+    p.add_argument("-i", "--input", "--idx", dest="input", required=True)
+    p.add_argument("-b", "--bed", "--bed-file", dest="bed", required=True)
     p.add_argument("-D", "--delim", default=None)
+    p.add_argument("-p", "--path-groups", default=None)
+    p.add_argument("-S", "--group-by-sample", action="store_true")
+    p.add_argument("-H", "--group-by-haplotype", action="store_true")
+    p.add_argument("-B", "--binary-values", type=float, default=0.0)
+    p.add_argument("-M", "--matrix-output", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-P", "--progress", action="store_true")
     p.set_defaults(fn=cmd_pav)
 
     p = sub.add_parser("untangle", help="query-vs-target segmentation")
